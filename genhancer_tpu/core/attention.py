@@ -1,0 +1,79 @@
+"""Scaled-dot-product attention for the DiT joint streams.
+
+The reference's hot kernel is cuDNN flash attention behind
+``F.scaled_dot_product_attention`` (src/flux/math.py:6-12).  Here:
+
+  * ``sdpa_xla``: einsum attention with float32 softmax — XLA fuses this well
+    at the DiT's sequence lengths (<= ~2.4k tokens) and it is the reference
+    implementation for tests.
+  * ``sdpa`` dispatches to a Pallas flash-attention kernel on TPU when
+    available/enabled, else the XLA path.  Both produce [B, L, H*D].
+
+Layout note: activations flow as [B, L, H, D] (lane dim = D = 128 exactly
+matches the MXU/VPU lane width for flux-dev head_dim=128).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from .rope import apply_rope
+
+_USE_PALLAS = os.environ.get("GENHANCER_PALLAS_ATTN", "auto")
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, l, h, d = x.shape
+    return x.reshape(b, l, h * d)
+
+
+def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """q,k,v: [B, L, H, D] -> [B, L, H, D]; float32 softmax accumulation."""
+    d = q.shape[-1]
+    scale = 1.0 / (d ** 0.5)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _pallas_available() -> bool:
+    if _USE_PALLAS == "0":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_fn():
+    from .pallas.flash_attention import flash_attention
+    return flash_attention
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """[B, L, H, D] -> [B, L, H, D]."""
+    if _USE_PALLAS != "0" and _pallas_available():
+        try:
+            return _flash_fn()(q, k, v)
+        except Exception:
+            if _USE_PALLAS == "1":
+                raise
+    return sdpa_xla(q, k, v)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """RoPE + SDPA + head merge — the reference `attention` (src/flux/math.py:6-12).
+
+    q,k,v: [B, L, H, D]; cos/sin: [B, L, D/2].  Returns [B, L, H*D].
+    """
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    return _merge_heads(sdpa(q, k, v))

@@ -1,0 +1,202 @@
+"""Functional neural-net primitives over explicit parameter pytrees.
+
+Every layer is an (init, apply) pair.  Parameters live in plain dicts whose key
+structure mirrors a torch ``state_dict`` (``{"weight": ..., "bias": ...}``,
+linear weights stored ``[out, in]``) so checkpoint import/export against the
+reference layout (e.g. ``checkpoint-dit-{step}.bin``; see
+``/root/reference/Continuous/train_SigLIP_stage1.py:284-300``) is a pure
+key-rename with no transposes.
+
+Compute policy: matmuls run in the dtype of the activations (bf16 on the hot
+path, hitting the MXU); normalization statistics are always accumulated in
+float32 (matching the reference RMSNorm/LayerNorm fp32-compute behavior,
+``src/flux/modules/layers.py:63-72``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match torch.nn.Linear defaults: kaiming-uniform weight,
+# uniform bias in +-1/sqrt(fan_in); keeps random-init DiT training dynamics
+# comparable to the reference, which never loads pretrained DiT weights
+# (src/flux/util.py:218-223).
+# ---------------------------------------------------------------------------
+
+def linear_init(key: jax.Array, in_dim: int, out_dim: int, bias: bool = True,
+                dtype=jnp.float32) -> Params:
+    kw, kb = jax.random.split(key)
+    bound_w = math.sqrt(1.0 / in_dim) * math.sqrt(3.0)  # kaiming_uniform(a=sqrt(5))
+    p = {"weight": jax.random.uniform(kw, (out_dim, in_dim), dtype, -bound_w, bound_w)}
+    if bias:
+        bound_b = math.sqrt(1.0 / in_dim)
+        p["bias"] = jax.random.uniform(kb, (out_dim,), dtype, -bound_b, bound_b)
+    return p
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    """x: [..., in] @ weight[out, in]^T + bias."""
+    w = p["weight"].astype(x.dtype)
+    y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
+                            preferred_element_type=x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def layernorm_init(dim: int, affine: bool = True, dtype=jnp.float32) -> Params:
+    if not affine:
+        return {}
+    return {"weight": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layernorm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm with float32 statistics; affine iff params present."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if "weight" in p:
+        y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rmsnorm_init(dim: int, dtype=jnp.float32) -> Params:
+    # torch key is "scale" in the reference RMSNorm (layers.py:66)
+    return {"scale": jnp.ones((dim,), dtype)}
+
+
+def rmsnorm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """RMSNorm, fp32 compute, scale applied after cast back (layers.py:68-72)."""
+    xf = x.astype(jnp.float32)
+    rrms = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return (xf * rrms).astype(x.dtype) * p["scale"].astype(x.dtype)
+
+
+def groupnorm_init(channels: int, dtype=jnp.float32) -> Params:
+    return {"weight": jnp.ones((channels,), dtype), "bias": jnp.zeros((channels,), dtype)}
+
+
+def groupnorm(p: Params, x: jax.Array, num_groups: int = 32, eps: float = 1e-6) -> jax.Array:
+    """GroupNorm over NHWC input; float32 statistics.
+
+    Groups clamp to the channel count so tiny test configs (c < 32) work;
+    production channel counts (>=128) always use the requested 32 groups.
+    """
+    n, h, w, c = x.shape
+    num_groups = min(num_groups, c)
+    xf = x.astype(jnp.float32).reshape(n, h, w, num_groups, c // num_groups)
+    mu = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=(1, 2, 4), keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
+    y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv2d_init(key: jax.Array, in_ch: int, out_ch: int, kernel: int,
+                dtype=jnp.float32) -> Params:
+    """Conv weights stored HWIO (TPU-native); the torch-IO layer transposes OIHW."""
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * kernel * kernel
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    p = {"weight": jax.random.uniform(kw, (kernel, kernel, in_ch, out_ch), dtype, -bound, bound)}
+    bound_b = math.sqrt(1.0 / fan_in)
+    p["bias"] = jax.random.uniform(kb, (out_ch,), dtype, -bound_b, bound_b)
+    return p
+
+
+def conv2d(p: Params, x: jax.Array, stride: int = 1,
+           padding="SAME") -> jax.Array:
+    """NHWC conv; `padding` is an XLA padding spec or explicit list."""
+    w = p["weight"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) — OpenAI CLIP's activation."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+ACTIVATIONS = {
+    "gelu_tanh": gelu_tanh,
+    "gelu_pytorch_tanh": gelu_tanh,
+    "gelu": gelu_exact,
+    "gelu_new": gelu_tanh,
+    "quick_gelu": quick_gelu,
+    "silu": silu,
+}
+
+
+# ---------------------------------------------------------------------------
+# Composite layers shared by the DiT (reference: src/flux/modules/layers.py)
+# ---------------------------------------------------------------------------
+
+def mlp_embedder_init(key: jax.Array, in_dim: int, hidden: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"in_layer": linear_init(k1, in_dim, hidden),
+            "out_layer": linear_init(k2, hidden, hidden)}
+
+
+def mlp_embedder(p: Params, x: jax.Array) -> jax.Array:
+    return linear(p["out_layer"], jax.nn.silu(linear(p["in_layer"], x)))
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10_000.0,
+                       time_factor: float = 1000.0) -> jax.Array:
+    """Sinusoidal embedding, [cos | sin] order (layers.py:28-49)."""
+    t = (time_factor * t).astype(jnp.float32)
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def modulation_init(key: jax.Array, dim: int, double: bool) -> Params:
+    mult = 6 if double else 3
+    return {"lin": linear_init(key, dim, mult * dim)}
+
+
+def modulation(p: Params, vec: jax.Array, double: bool):
+    """vec [B, D] -> list of (shift, scale, gate) triples, each [B, 1, D]."""
+    out = linear(p["lin"], jax.nn.silu(vec))[:, None, :]
+    chunks = jnp.split(out, 6 if double else 3, axis=-1)
+    mods = [tuple(chunks[i:i + 3]) for i in range(0, len(chunks), 3)]
+    return mods
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def tree_cast(params, dtype):
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), params)

@@ -1,0 +1,267 @@
+"""FLUX-style rectified-flow DiT (the lightweight GenHancer denoiser).
+
+Behavioral parity with the reference ``Flux`` transformer
+(``/root/reference/Continuous/src/flux/model.py:28-228`` and
+``modules/layers.py``): img/txt input projections, sinusoidal
+timestep/guidance embeddings through MLPEmbedders, N double-stream blocks
+(parallel img/txt streams with joint attention over [txt; img]), M
+single-stream blocks (ViT-22B parallel attention+MLP), adaLN final layer
+producing 64-channel velocity tokens.  flux-dev config: hidden 3072, 24 heads,
+depth 2 + 4, axes_dim [16,56,56], theta 10k (``src/flux/util.py:124-191``).
+
+TPU-native differences:
+  * functional (init_dit / dit_forward) over a torch-keyed param pytree;
+  * RoPE applied as fused cos/sin rotation (core.rope) instead of 2x2 matmuls;
+  * activation rematerialization via jax.checkpoint per block (the reference's
+    gradient-checkpoint branch is dead code — SURVEY.md Q3 — we make it real);
+  * the whole forward lives in one jit/pjit region; attention dispatches to a
+    Pallas flash kernel on TPU (core.attention).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import nn
+from ..core.attention import attention, sdpa
+from ..core.rope import multi_axis_rope
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    in_channels: int = 64
+    vec_in_dim: int = 768
+    context_in_dim: int = 4096
+    hidden_size: int = 3072
+    mlp_ratio: float = 4.0
+    num_heads: int = 24
+    depth: int = 2
+    depth_single_blocks: int = 4
+    axes_dim: tuple = (16, 56, 56)
+    theta: int = 10_000
+    qkv_bias: bool = True
+    guidance_embed: bool = True
+
+    def __post_init__(self):
+        if self.hidden_size % self.num_heads:
+            raise ValueError(
+                f"hidden_size {self.hidden_size} not divisible by num_heads {self.num_heads}")
+        if sum(self.axes_dim) != self.hidden_size // self.num_heads:
+            raise ValueError(
+                f"axes_dim {self.axes_dim} must sum to head_dim {self.hidden_size // self.num_heads}")
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+
+# Model registry — parity with src/flux/util.py:124-191 ("flux-dev"/"flux-schnell";
+# the lightweight 2+4-block denoiser, pretrained FLUX weights deliberately unused).
+DIT_CONFIGS = {
+    "flux-dev": DiTConfig(guidance_embed=True),
+    "flux-schnell": DiTConfig(guidance_embed=False),
+}
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_double_block(key, cfg: DiTConfig):
+    ks = jax.random.split(key, 10)
+    h, mh = cfg.hidden_size, cfg.mlp_hidden
+    d = cfg.head_dim
+
+    def stream(k0, k1, k2, k3, k4):
+        return {
+            "mod": nn.modulation_init(k0, h, double=True),
+            "attn": {
+                "qkv": nn.linear_init(k1, h, 3 * h, bias=cfg.qkv_bias),
+                "norm": {"query_norm": nn.rmsnorm_init(d), "key_norm": nn.rmsnorm_init(d)},
+                "proj": nn.linear_init(k2, h, h),
+            },
+            "mlp": {"0": nn.linear_init(k3, h, mh), "2": nn.linear_init(k4, mh, h)},
+        }
+
+    return {"img": stream(*ks[:5]), "txt": stream(*ks[5:])}
+
+
+def _init_single_block(key, cfg: DiTConfig):
+    ks = jax.random.split(key, 3)
+    h, mh, d = cfg.hidden_size, cfg.mlp_hidden, cfg.head_dim
+    return {
+        "linear1": nn.linear_init(ks[0], h, 3 * h + mh),
+        "linear2": nn.linear_init(ks[1], h + mh, h),
+        "norm": {"query_norm": nn.rmsnorm_init(d), "key_norm": nn.rmsnorm_init(d)},
+        "modulation": nn.modulation_init(ks[2], h, double=False),
+    }
+
+
+def init_dit(key: jax.Array, cfg: DiTConfig) -> dict:
+    n_keys = 6 + cfg.depth + cfg.depth_single_blocks
+    ks = list(jax.random.split(key, n_keys))
+    h = cfg.hidden_size
+    params = {
+        "img_in": nn.linear_init(ks[0], cfg.in_channels, h),
+        "time_in": nn.mlp_embedder_init(ks[1], 256, h),
+        "vector_in": nn.mlp_embedder_init(ks[2], cfg.vec_in_dim, h),
+        "txt_in": nn.linear_init(ks[3], cfg.context_in_dim, h),
+        "double_blocks": [_init_double_block(ks[6 + i], cfg) for i in range(cfg.depth)],
+        "single_blocks": [_init_single_block(ks[6 + cfg.depth + i], cfg)
+                          for i in range(cfg.depth_single_blocks)],
+        "final_layer": {
+            "linear": nn.linear_init(ks[4], h, cfg.in_channels),
+            "adaLN_modulation": {"1": nn.linear_init(ks[5], h, 2 * h)},
+        },
+    }
+    if cfg.guidance_embed:
+        kg = jax.random.fold_in(key, 7)
+        params["guidance_in"] = nn.mlp_embedder_init(kg, 256, h)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _split_qkv(qkv: jax.Array, num_heads: int):
+    """[B, L, 3*H*D] -> three [B, L, H, D] (K-major packing, layers.py:117)."""
+    b, l, three_hd = qkv.shape
+    hd = three_hd // 3
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    d = hd // num_heads
+    return (q.reshape(b, l, num_heads, d), k.reshape(b, l, num_heads, d),
+            v.reshape(b, l, num_heads, d))
+
+
+def _qk_norm(norm_p, q, k, v):
+    q = nn.rmsnorm(norm_p["query_norm"], q).astype(v.dtype)
+    k = nn.rmsnorm(norm_p["key_norm"], k).astype(v.dtype)
+    return q, k
+
+
+def _double_block(p, img, txt, vec, cos, sin, num_heads):
+    """DoubleStreamBlockProcessor (layers.py:303-337)."""
+    (img_m1, img_m2) = nn.modulation(p["img"]["mod"], vec, double=True)
+    (txt_m1, txt_m2) = nn.modulation(p["txt"]["mod"], vec, double=True)
+
+    img_mod = nn.layernorm({}, img)
+    img_mod = (1 + img_m1[1]) * img_mod + img_m1[0]
+    iq, ik, iv = _split_qkv(nn.linear(p["img"]["attn"]["qkv"], img_mod), num_heads)
+    iq, ik = _qk_norm(p["img"]["attn"]["norm"], iq, ik, iv)
+
+    txt_mod = nn.layernorm({}, txt)
+    txt_mod = (1 + txt_m1[1]) * txt_mod + txt_m1[0]
+    tq, tk, tv = _split_qkv(nn.linear(p["txt"]["attn"]["qkv"], txt_mod), num_heads)
+    tq, tk = _qk_norm(p["txt"]["attn"]["norm"], tq, tk, tv)
+
+    # joint attention over [txt; img]
+    q = jnp.concatenate([tq, iq], axis=1)
+    k = jnp.concatenate([tk, ik], axis=1)
+    v = jnp.concatenate([tv, iv], axis=1)
+    attn_out = attention(q, k, v, cos, sin)
+    txt_len = txt.shape[1]
+    txt_attn, img_attn = attn_out[:, :txt_len], attn_out[:, txt_len:]
+
+    img = img + img_m1[2] * nn.linear(p["img"]["attn"]["proj"], img_attn)
+    img_h = (1 + img_m2[1]) * nn.layernorm({}, img) + img_m2[0]
+    img = img + img_m2[2] * nn.linear(p["img"]["mlp"]["2"],
+                                      nn.gelu_tanh(nn.linear(p["img"]["mlp"]["0"], img_h)))
+
+    txt = txt + txt_m1[2] * nn.linear(p["txt"]["attn"]["proj"], txt_attn)
+    txt_h = (1 + txt_m2[1]) * nn.layernorm({}, txt) + txt_m2[0]
+    txt = txt + txt_m2[2] * nn.linear(p["txt"]["mlp"]["2"],
+                                      nn.gelu_tanh(nn.linear(p["txt"]["mlp"]["0"], txt_h)))
+    return img, txt
+
+
+def _single_block(p, x, vec, cos, sin, num_heads, hidden_size, mlp_hidden):
+    """SingleStreamBlockProcessor (layers.py:485-501): fused qkv+mlp_in, proj+mlp_out."""
+    (mod,) = nn.modulation(p["modulation"], vec, double=False)
+    x_mod = (1 + mod[1]) * nn.layernorm({}, x) + mod[0]
+    lin1 = nn.linear(p["linear1"], x_mod)
+    qkv, mlp = lin1[..., : 3 * hidden_size], lin1[..., 3 * hidden_size:]
+    q, k, v = _split_qkv(qkv, num_heads)
+    q, k = _qk_norm(p["norm"], q, k, v)
+    attn_out = attention(q, k, v, cos, sin)
+    out = nn.linear(p["linear2"], jnp.concatenate([attn_out, nn.gelu_tanh(mlp)], axis=-1))
+    return x + mod[2] * out
+
+
+def dit_forward(params: dict, cfg: DiTConfig, *,
+                img: jax.Array, img_ids: jax.Array,
+                txt: jax.Array, txt_ids: jax.Array,
+                timesteps: jax.Array, y: jax.Array,
+                guidance: Optional[jax.Array] = None,
+                remat: bool = False) -> jax.Array:
+    """img: [B, L_img, 64] packed latent tokens; txt: [B, L_txt, 4096];
+    ids: [B, L, 3]; timesteps/guidance: [B]; y: [B, vec_in_dim].
+    Returns velocity tokens [B, L_img, 64].  Parity: model.py:137-228."""
+    if img.ndim != 3 or txt.ndim != 3:
+        raise ValueError("img and txt must be 3-D [B, L, C]")
+
+    compute_dtype = img.dtype
+    img = nn.linear(params["img_in"], img)
+    vec = nn.mlp_embedder(params["time_in"],
+                          nn.timestep_embedding(timesteps, 256).astype(compute_dtype))
+    if cfg.guidance_embed:
+        if guidance is None:
+            raise ValueError("guidance required for guidance-embedded (dev) model")
+        vec = vec + nn.mlp_embedder(params["guidance_in"],
+                                    nn.timestep_embedding(guidance, 256).astype(compute_dtype))
+    vec = vec + nn.mlp_embedder(params["vector_in"], y.astype(compute_dtype))
+    txt = nn.linear(params["txt_in"], txt)
+
+    ids = jnp.concatenate([txt_ids, img_ids], axis=1)
+    cos, sin = multi_axis_rope(ids, cfg.axes_dim, cfg.theta)
+
+    dblock = _double_block
+    sblock = _single_block
+    if remat:
+        dblock = jax.checkpoint(dblock, static_argnums=(6,))
+        sblock = jax.checkpoint(sblock, static_argnums=(5, 6, 7))
+
+    for p in params["double_blocks"]:
+        img, txt = dblock(p, img, txt, vec, cos, sin, cfg.num_heads)
+
+    x = jnp.concatenate([txt, img], axis=1)
+    for p in params["single_blocks"]:
+        x = sblock(p, x, vec, cos, sin, cfg.num_heads, cfg.hidden_size, cfg.mlp_hidden)
+    img = x[:, txt.shape[1]:]
+
+    # LastLayer (layers.py:561-572)
+    fl = params["final_layer"]
+    sm = nn.linear(fl["adaLN_modulation"]["1"], jax.nn.silu(vec))
+    shift, scale = jnp.split(sm, 2, axis=-1)
+    img = (1 + scale[:, None, :]) * nn.layernorm({}, img) + shift[:, None, :]
+    return nn.linear(fl["linear"], img)
+
+
+def pack_latent(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] latent (NHWC) -> [B, (H/2)(W/2), C*4] tokens.
+
+    Channel packing order matches the reference's NCHW einops
+    'b c (h ph) (w pw) -> b (h w) (c ph pw)' (sampling.py:37) so exported
+    checkpoints see identical img_in weight ordering.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)      # (b, h2, ph, w2, pw, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)              # (b, h2, w2, c, ph, pw)
+    return x.reshape(b, (h // 2) * (w // 2), c * 4)
+
+
+def unpack_latent(x: jax.Array, h: int, w: int) -> jax.Array:
+    """[B, (h/2)(w/2), C*4] tokens -> [B, h, w, C] NHWC latent (sampling.py:234-242)."""
+    b, l, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h // 2, w // 2, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h/2, ph, w/2, pw, c
+    return x.reshape(b, h, w, c)

@@ -1,0 +1,28 @@
+"""Test config: force CPU with 8 virtual devices so DP/mesh semantics are
+testable without TPU hardware (SURVEY.md §4 'Implication for the rebuild').
+
+The container's sitecustomize registers the axon TPU backend at interpreter
+start and overrides jax_platforms, so env vars alone are not enough — we must
+override via the config API before any backend is initialized.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("GENHANCER_PALLAS_ATTN", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
