@@ -1,0 +1,105 @@
+"""Shared pre-LN ViT/text transformer encoder for CLIP-family towers.
+
+Matches the HF ``CLIPEncoderLayer`` / ``SiglipEncoderLayer`` computation
+exactly (pre-LN, MHA with q/k/v/out biases, fc1/act/fc2, fp32 softmax):
+`transformers/models/clip/modeling_clip.py` ``eager_attention_forward``.
+Param-tree keys mirror the HF state_dict (``layers.{i}.self_attn.q_proj`` ...)
+so weight conversion is a rename-free reshape (see genhancer_tpu.weights).
+
+The towers run in float32 by default — the reference forces fp32 CLIP
+(``/root/reference/Continuous/clip_models/build_CLIP.py:9``) and MMVP parity
+within 0.5% leaves no room for activation drift; pass ``dtype=jnp.bfloat16``
+to trade parity for speed in stage-2 training.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...core import nn
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
+
+
+def init_encoder_layer(key, cfg: EncoderConfig):
+    ks = jax.random.split(key, 6)
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    return {
+        "layer_norm1": nn.layernorm_init(h),
+        "self_attn": {
+            "q_proj": nn.linear_init(ks[0], h, h),
+            "k_proj": nn.linear_init(ks[1], h, h),
+            "v_proj": nn.linear_init(ks[2], h, h),
+            "out_proj": nn.linear_init(ks[3], h, h),
+        },
+        "layer_norm2": nn.layernorm_init(h),
+        "mlp": {"fc1": nn.linear_init(ks[4], h, i), "fc2": nn.linear_init(ks[5], i, h)},
+    }
+
+
+def init_encoder(key, cfg: EncoderConfig):
+    ks = jax.random.split(key, cfg.num_layers)
+    return {"layers": [init_encoder_layer(k, cfg) for k in ks]}
+
+
+def mha(p, x_q, x_kv, num_heads: int, mask: Optional[jax.Array] = None) -> jax.Array:
+    """Multi-head attention with separate q/k/v/out projections.
+
+    x_q: [B, Lq, H]; x_kv: [B, Lk, H]; mask: additive [B, 1, Lq, Lk] or
+    broadcastable (0 where attended, -inf where masked).  fp32 softmax.
+    """
+    b, lq, h = x_q.shape
+    lk = x_kv.shape[1]
+    d = h // num_heads
+    q = nn.linear(p["q_proj"], x_q).reshape(b, lq, num_heads, d)
+    k = nn.linear(p["k_proj"], x_kv).reshape(b, lk, num_heads, d)
+    v = nn.linear(p["v_proj"], x_kv).reshape(b, lk, num_heads, d)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x_q.dtype)
+    return nn.linear(p["out_proj"], out.reshape(b, lq, h))
+
+
+def encoder_layer(p, x, cfg: EncoderConfig, mask=None):
+    act = nn.ACTIVATIONS[cfg.hidden_act]
+    res = x
+    x = nn.layernorm(p["layer_norm1"], x, eps=cfg.layer_norm_eps)
+    x = res + mha(p["self_attn"], x, x, cfg.num_heads, mask)
+    res = x
+    x = nn.layernorm(p["layer_norm2"], x, eps=cfg.layer_norm_eps)
+    x = res + nn.linear(p["mlp"]["fc2"], act(nn.linear(p["mlp"]["fc1"], x)))
+    return x
+
+
+def encoder_forward(p, x, cfg: EncoderConfig, mask=None):
+    for lp in p["layers"]:
+        x = encoder_layer(lp, x, cfg, mask)
+    return x
+
+
+def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
+    """[1, 1, L, L] additive causal mask (CLIP text)."""
+    m = jnp.triu(jnp.full((length, length), jnp.finfo(jnp.float32).min), k=1)
+    return m[None, None].astype(dtype)
+
+
+def padding_mask(attention_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, L] 1/0 -> additive [B, 1, 1, L]."""
+    inv = (1.0 - attention_mask.astype(jnp.float32)) * jnp.finfo(jnp.float32).min
+    return inv[:, None, None, :].astype(dtype)
