@@ -43,10 +43,21 @@ def linear_init(key: jax.Array, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
-    """x: [..., in] @ weight[out, in]^T + bias."""
+    """x: [..., in] @ weight[out, in]^T + bias.
+
+    If the node carries LoRA factors ("lora_A" [r, in], "lora_B" [out, r],
+    "lora_scale" = alpha/r), the low-rank branch is added in parallel —
+    peft-equivalent y = Wx + s·B(Ax) (see train.lora).
+    """
     w = p["weight"].astype(x.dtype)
     y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
                             preferred_element_type=x.dtype)
+    if "lora_A" in p:
+        a = p["lora_A"].astype(x.dtype)
+        b = p["lora_B"].astype(x.dtype)
+        down = jax.lax.dot_general(x, a, (((x.ndim - 1,), (1,)), ((), ())))
+        up = jax.lax.dot_general(down, b, (((x.ndim - 1,), (1,)), ((), ())))
+        y = y + up * p["lora_scale"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

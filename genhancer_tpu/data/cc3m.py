@@ -1,0 +1,86 @@
+"""CC3M (image-text) webdataset pipeline — image-mode training input.
+
+Equivalent of ``image_datasets/dataset_cc3m.py``: streaming tar shards of
+{jpg, txt}, shuffle buffer, RandomResizedCrop(scale 0.9-1.0, bicubic), batch
+collation.  Emits ``{"image": float32 [B, H, W, 3] in [0,1], "text": [str]}``
+— NO normalization here (done once on device, SURVEY.md Q1).
+
+``loader(train_batch_size, num_workers, img_size, img_dir, seed, ...)``
+preserves the reference loader signature (``dataset_cc3m.py:220-222``).
+Decoding runs in a thread pool (PIL releases the GIL for JPEG work).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .transforms import train_image_transform, eval_image_transform
+from .wds import ShardStream
+
+
+class CC3MLoader:
+    def __init__(self, img_dir, train_batch_size: int = 16, num_workers: int = 4,
+                 img_size: int = 224, seed: int = 0, patch_size: int = 1,
+                 shuffle_buffer: int = 2000, train: bool = True,
+                 node_index: int = 0, node_count: int = 1, repeat: bool = True,
+                 **_unused):
+        self.batch_size = train_batch_size
+        self.img_size = img_size
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+        self.stream = ShardStream(img_dir, node_index=node_index,
+                                  node_count=node_count,
+                                  shuffle_buffer=shuffle_buffer if train else 0,
+                                  seed=seed, repeat=repeat)
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+
+    def _decode(self, sample) -> Optional[tuple]:
+        jpg = sample.get("jpg") or sample.get("jpeg") or sample.get("png")
+        if jpg is None:
+            return None
+        try:
+            if self.train:
+                img = train_image_transform(jpg, self.img_size, self.rng)
+            else:
+                img = eval_image_transform(jpg, self.img_size)
+        except Exception:
+            return None
+        txt = sample.get("txt", b"")
+        return img, txt.decode("utf-8", "replace") if isinstance(txt, bytes) else str(txt)
+
+    def __iter__(self) -> Iterator[Dict]:
+        images, texts = [], []
+        sample_iter = iter(self.stream)
+        while True:
+            futures = []
+            for _ in range(self.batch_size * 2):
+                try:
+                    futures.append(self.pool.submit(self._decode, next(sample_iter)))
+                except StopIteration:
+                    break
+            if not futures:
+                if images:
+                    yield self._batch(images, texts)
+                return
+            for fut in futures:
+                res = fut.result()
+                if res is None:
+                    continue
+                images.append(res[0])
+                texts.append(res[1])
+                if len(images) == self.batch_size:
+                    yield self._batch(images, texts)
+                    images, texts = [], []
+
+    @staticmethod
+    def _batch(images, texts) -> Dict:
+        return {"image": np.stack(images), "text": list(texts)}
+
+
+def loader(train_batch_size: int = 16, num_workers: int = 4, **kwargs) -> CC3MLoader:
+    """Reference-compatible entry point (dataset_cc3m.py:220)."""
+    return CC3MLoader(train_batch_size=train_batch_size,
+                      num_workers=num_workers, **kwargs)

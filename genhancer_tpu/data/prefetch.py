@@ -1,0 +1,65 @@
+"""Host->device prefetch: overlap input pipeline with TPU compute.
+
+A background thread pulls host batches, places them on the mesh (sharded on
+the data axis), and keeps a small queue full so the train loop never blocks
+on JPEG decode — the TPU-native replacement for torch DataLoader
+pin_memory/prefetch_factor (``dataset_video.py:390-398``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..parallel import mesh as mesh_m
+
+
+_SENTINEL = object()
+
+
+class DevicePrefetcher:
+    def __init__(self, host_iter, mesh=None, depth: int = 2,
+                 array_keys: Optional[set] = None):
+        self.host_iter = iter(host_iter)
+        self.mesh = mesh
+        self.queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.array_keys = array_keys
+        self._err: Optional[BaseException] = None
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _place(self, batch):
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and (self.array_keys is None
+                                                    or k in self.array_keys)}
+        rest = {k: v for k, v in batch.items() if k not in arrays}
+        if self.mesh is not None:
+            arrays = mesh_m.shard_batch(arrays, self.mesh)
+        else:
+            arrays = jax.tree_util.tree_map(jax.device_put, arrays)
+        arrays.update(rest)
+        return arrays
+
+    def _worker(self):
+        try:
+            for batch in self.host_iter:
+                self.queue.put(self._place(batch))
+        except BaseException as e:  # surfaced on next __next__
+            self._err = e
+        finally:
+            self.queue.put(_SENTINEL)
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        item = self.queue.get()
+        if item is _SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -1,0 +1,173 @@
+"""Image-mode tasks: stage-1 (projectors + DiT) and stage-2 (tower LoRA).
+
+Reference trainers covered (SURVEY.md §2.4): train_{SigLIP,MetaCLIP}_stage1,
+train_{SigLIP,MetaCLIP}_stage2_{only,all} — all share the flow-matching
+skeleton (``train_SigLIP_stage1.py:234-275``); they differ only in tower
+family, LoRA targets, and which modules train.  Here that matrix is one task
+builder parameterized by ``TaskSpec``.
+
+The whole step — VAE encode, tower forward, projectors, logit-normal t,
+interpolation, DiT forward/backward, AdamW — is a single jit region; the
+batch is sharded over the mesh's data axis and XLA inserts the gradient
+all-reduce (replacing Accelerate/DDP/NCCL, SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import dit as dit_m
+from ..models import vae as vae_m
+from ..models.towers import clip as clip_m
+from ..models.towers import siglip as siglip_m
+from ..models.towers import projectors as proj_m
+from ..train import flow, lora as lora_m
+from ..train.state import TrainState, create_state, unflatten_params, apply_gradients
+from .conditioning import image_conditioning, normalize, VAE_MEAN, VAE_STD
+
+
+@dataclass(frozen=True)
+class TaskSpec:
+    """Static description of one training task."""
+    stage: str                       # "stage1" | "stage2_only" | "stage2_all"
+    tower_kind: str                  # "clip" | "siglip"
+    img_size: int                    # VAE input resolution
+    clip_image_size: int
+    dit_cfg: dit_m.DiTConfig
+    vae_cfg: vae_m.VAEConfig
+    tower_cfg: object                # CLIPConfig | SiglipConfig
+    clip_dim: int = 768
+    t5_dim: int = 4096
+    scale_factor: float = 1.0
+    guidance: float = 4.0
+    lora_r: int = 16
+    lora_alpha: float = 16.0
+    lora_targets: object = "all-linear"
+    lora_bias: str = "lora_only"
+    remat: bool = False
+    compute_dtype: object = jnp.bfloat16
+
+    @property
+    def latent_hw(self) -> Tuple[int, int]:
+        f = 2 ** (len(self.vae_cfg.ch_mult) - 1)   # f8 for the FLUX VAE
+        return (self.img_size // f, self.img_size // f)
+
+    @property
+    def tower_hidden(self) -> int:
+        return (self.tower_cfg.vision.hidden_size if self.tower_kind == "siglip"
+                else self.tower_cfg.projection_dim)
+
+
+def init_modules(key: jax.Array, spec: TaskSpec,
+                 tower_params=None, vae_params=None) -> Dict:
+    """Random-init (or adopt pretrained) module trees.
+
+    Layout mirrors the reference SuperModel: ``clip = {model, project_clip,
+    project_t5}`` (CLIP_bank.py), ``dit``, ``vae``.
+    """
+    ks = jax.random.split(key, 5)
+    if tower_params is None:
+        init_tower = (siglip_m.init_siglip if spec.tower_kind == "siglip"
+                      else clip_m.init_clip)
+        tower_params = init_tower(ks[0], spec.tower_cfg)
+    if vae_params is None:
+        vae_params = vae_m.init_vae(ks[1], spec.vae_cfg)
+    d = spec.tower_hidden
+    modules = {
+        "dit": dit_m.init_dit(ks[2], spec.dit_cfg),
+        "vae": vae_params,
+        "clip": {
+            "model": tower_params,
+            "project_clip": proj_m.init_projector(ks[3], d, spec.clip_dim),
+            "project_t5": proj_m.init_projector(ks[4], d, spec.t5_dim),
+        },
+    }
+    if spec.stage in ("stage2_only", "stage2_all"):
+        modules["clip"]["model"], _ = lora_m.inject(
+            modules["clip"]["model"], jax.random.fold_in(key, 99),
+            r=spec.lora_r, alpha=spec.lora_alpha, targets=spec.lora_targets)
+    return modules
+
+
+def trainable_predicate(spec: TaskSpec, modules) -> Callable[[str], bool]:
+    """Which flat paths train — parity with the reference requires_grad setup:
+    stage1: projectors + DiT (train_SigLIP_stage1.py:131,137-141);
+    stage2_only: tower LoRA only; stage2_all: LoRA + DiT + projectors."""
+    lora_paths = set()
+    if spec.stage in ("stage2_only", "stage2_all"):
+        lora_paths = {"clip.model." + p if not p.startswith("clip.model") else p
+                      for p in lora_m.lora_trainable_paths(modules["clip"]["model"])}
+
+    def pred(path: str) -> bool:
+        if spec.stage == "stage1":
+            return (path.startswith("dit.")
+                    or ".project_clip." in path or ".project_t5." in path)
+        if spec.stage == "stage2_only":
+            return path in lora_paths
+        if spec.stage == "stage2_all":
+            return (path in lora_paths or path.startswith("dit.")
+                    or ".project_clip." in path or ".project_t5." in path)
+        raise ValueError(spec.stage)
+
+    return pred
+
+
+def make_loss_fn(spec: TaskSpec):
+    def loss_fn(trainable, frozen, batch, key):
+        params = unflatten_params({**frozen, **trainable})
+        imgs = batch["image"]                       # [B, H, W, 3] in [0, 1]
+        k_vae, k_t, k_noise = jax.random.split(key, 3)
+
+        # frozen fp32 VAE encode (train_SigLIP_stage1.py:242-243)
+        vae_in = normalize(imgs, VAE_MEAN, VAE_STD).astype(jnp.float32)
+        x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae)
+        x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
+
+        cond = image_conditioning(spec.tower_kind, params["clip"], imgs,
+                                  spec.tower_cfg, spec.latent_hw,
+                                  compute_dtype=spec.compute_dtype)
+
+        b = imgs.shape[0]
+        t = flow.sample_timesteps(k_t, b, spec.scale_factor)
+        x0 = jax.random.normal(k_noise, x1.shape, jnp.float32)
+        xt = flow.interpolate(x1, x0, t)
+        guidance = jnp.full((b,), spec.guidance, spec.compute_dtype)
+
+        pred = dit_m.dit_forward(
+            params["dit"], spec.dit_cfg,
+            img=xt.astype(spec.compute_dtype), img_ids=cond["img_ids"],
+            txt=cond["txt"].astype(spec.compute_dtype), txt_ids=cond["txt_ids"],
+            timesteps=t.astype(spec.compute_dtype),
+            y=cond["vec"].astype(spec.compute_dtype),
+            guidance=guidance, remat=spec.remat)
+
+        return flow.mse_loss(pred, flow.velocity_target(x1, x0))
+
+    return loss_fn
+
+
+def make_train_step(spec: TaskSpec, optimizer):
+    """jit-able (state, batch, key) -> (state, metrics)."""
+    loss_fn = make_loss_fn(spec)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, key):
+        loss, grads = jax.value_and_grad(
+            lambda tp: loss_fn(tp, state.frozen, batch, key))(state.trainable)
+        new_state = apply_gradients(state, grads, optimizer)
+        import optax
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return step
+
+
+def create_task_state(key: jax.Array, spec: TaskSpec, optimizer,
+                      tower_params=None, vae_params=None) -> TrainState:
+    modules = init_modules(key, spec, tower_params, vae_params)
+    pred = trainable_predicate(spec, modules)
+    return create_state(modules, pred, optimizer)
