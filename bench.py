@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Headline benchmark: stage-1 image-mode training throughput (images/sec/chip).
+
+Measures the full reference stage-1 hot loop (SURVEY.md §3.1) on one chip:
+frozen FLUX-VAE encode + frozen CLIP-L/14-224 forward + projectors + flux-dev
+DiT (2 double + 4 single blocks, 3072 hidden, bf16) forward/backward + AdamW —
+all inside a single jit, random weights (the DiT is always random-init in the
+reference, and throughput is weight-independent).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline (vs_baseline denominator): an A100-80GB running the reference torch
+stack.  No published numbers exist (BASELINE.md), so we model it:
+per-image compute ≈ 3x(fwd) DiT + CLIP fwd + VAE-encoder fwd FLOPs, at 30%
+bf16 MFU on A100 (312 TFLOPS peak) — a middle estimate for an eager
+torch/Accelerate loop (no torch.compile) with the reference's dtype mix
+(bf16 DiT, autocast CLIP, explicit-fp32 VAE encode) and host-side
+dataloading.  The FLOP count is computed analytically below from the exact
+model dims, so the baseline scales with any config change.
+
+Timing note: the final loss is fetched with float() (device_get) rather than
+block_until_ready — on the axon-relayed TPU the latter returns without
+draining the dispatch queue, which inflates throughput ~100x.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dit_flops_per_image(seq_img: int, seq_txt: int, cfg) -> float:
+    """Matmul FLOPs of one DiT forward for one image (2*m*n*k per matmul)."""
+    h = cfg.hidden_size
+    mh = cfg.mlp_hidden
+    L = seq_img + seq_txt
+    f = 0.0
+    f += 2 * seq_img * cfg.in_channels * h          # img_in
+    f += 2 * seq_txt * cfg.context_in_dim * h       # txt_in
+    # double blocks: per stream qkv(3h)+proj(h)+mlp(2*mh) matmuls + attention
+    for _ in range(cfg.depth):
+        for seq in (seq_img, seq_txt):
+            f += 2 * seq * h * (3 * h + h + 2 * mh)
+            f += 2 * seq * h * 6                    # modulation (vec) — negligible
+        f += 2 * 2 * L * L * h                      # qk^T and av
+    # single blocks: linear1 (3h+mh), linear2 (h+mh -> h), attention
+    for _ in range(cfg.depth_single_blocks):
+        f += 2 * L * h * (3 * h + mh)
+        f += 2 * L * (h + mh) * h
+        f += 2 * 2 * L * L * h
+    f += 2 * seq_img * h * cfg.in_channels          # final layer
+    return f
+
+
+def clip_flops_per_image(seq: int, hidden: int, inter: int, layers: int) -> float:
+    f = 0.0
+    for _ in range(layers):
+        f += 2 * seq * hidden * (4 * hidden + 2 * inter)
+        f += 2 * 2 * seq * seq * hidden
+    return f
+
+
+def vae_encoder_flops_per_image(px: int, ch: int = 128) -> float:
+    """Conv FLOPs for the f8 encoder at px*px input (dominant terms)."""
+    f = 0.0
+    res, c_in = px, 3
+    mults = [1, 2, 4, 4]
+    c_prev = ch
+    f += 2 * px * px * 9 * 3 * ch                       # conv_in
+    for i, m in enumerate(mults):
+        c_out = ch * m
+        for _ in range(2):                               # 2 resnet blocks
+            f += 2 * res * res * 9 * c_prev * c_out
+            f += 2 * res * res * 9 * c_out * c_out
+            c_prev = c_out
+        if i < 3:
+            f += 2 * (res // 2) * (res // 2) * 9 * c_out * c_out
+            res //= 2
+    f += 3 * (2 * res * res * 9 * c_prev * c_prev)       # mid blocks approx
+    return f
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BS", "32"))
+    img_size = int(os.environ.get("BENCH_IMG", "224"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    from genhancer_tpu.models import dit as dit_m
+    from genhancer_tpu.models import vae as vae_m
+    from genhancer_tpu.models.towers import clip as clip_m
+    from genhancer_tpu.tasks import image as image_task
+    from genhancer_tpu.train import optim
+    from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+
+    dit_cfg = dit_m.DIT_CONFIGS["flux-dev"]
+    vae_cfg = vae_m.VAE_CONFIGS["flux-dev"]
+    tower_cfg = clip_m.CLIP_VARIANTS["clip-vit-large-patch14"]
+
+    spec = image_task.TaskSpec(
+        stage="stage1", tower_kind="clip", img_size=img_size,
+        clip_image_size=224, dit_cfg=dit_cfg, vae_cfg=vae_cfg,
+        tower_cfg=tower_cfg, clip_dim=768, t5_dim=4096,
+        compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16)
+
+    cfg = Config(dict(TRAIN_DEFAULTS))
+    optimizer = optim.make_optimizer(cfg)
+    state = image_task.create_task_state(jax.random.key(0), spec, optimizer)
+    step = image_task.make_train_step(spec, optimizer)
+
+    rng = np.random.default_rng(0)
+    batch_data = {"image": jnp.asarray(
+        rng.random((batch, img_size, img_size, 3), dtype=np.float32))}
+
+    # warmup / compile
+    for i in range(3):
+        state, metrics = step(state, batch_data, jax.random.key(i))
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batch_data, jax.random.key(100 + i))
+    float(metrics["loss"])  # forces the full step chain (see timing note)
+    dt = time.perf_counter() - t0
+    images_per_sec = batch * steps / dt
+
+    # analytic A100 baseline
+    seq_img = (img_size // 16) ** 2
+    flops = (3 * dit_flops_per_image(seq_img, 1, dit_cfg)
+             + clip_flops_per_image((224 // 14) ** 2 + 1, 1024, 4096, 24)
+             + vae_encoder_flops_per_image(img_size))
+    a100_imgs_per_sec = 312e12 * 0.30 / flops
+    vs_baseline = images_per_sec / a100_imgs_per_sec
+
+    print(json.dumps({
+        "metric": "stage1_image_train_throughput",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+#!/usr/bin/env python
+"""Reference-compatible MMVP eval entry (evaluate_mmvp_SigLIP_224) — presets tower family
+siglip@224; all paths are real CLI flags (fixes reference quirk Q7)."""
+import sys
+from genhancer_tpu.cli.evaluate import main
+
+if __name__ == "__main__":
+    preset = ["--tower", "siglip", "--clip_image_size", "224"]
+    main(sys.argv[1:] + preset)

@@ -57,9 +57,17 @@ def _flash_fn():
     return flash_attention
 
 
+# Below this sequence length the batched-einsum XLA path wins: per-program
+# Pallas grid overhead dominates tiny [L, L] tiles (measured on v5e: L=197
+# pallas 22 ms vs XLA 1.9 ms; L=2304 pallas ≈ XLA fwd but the flash backward
+# avoids materializing [B, H, L, L] softmax residuals).
+PALLAS_MIN_SEQ = int(os.environ.get("GENHANCER_PALLAS_MIN_SEQ", "1024"))
+
+
 def sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """[B, L, H, D] -> [B, L, H, D]."""
-    if _USE_PALLAS != "0" and _pallas_available():
+    if (_USE_PALLAS != "0" and q.shape[1] >= PALLAS_MIN_SEQ
+            and _pallas_available()):
         try:
             return _flash_fn()(q, k, v)
         except Exception:

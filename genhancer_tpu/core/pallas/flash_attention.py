@@ -1,0 +1,192 @@
+"""Pallas TPU fused attention (forward + custom VJP backward).
+
+Replaces the reference's cuDNN flash attention
+(``torch.nn.functional.scaled_dot_product_attention``,
+``/root/reference/Continuous/src/flux/math.py:9``) for the DiT joint-stream
+attention.  Design point: GenHancer sequences are short (<= ~2.4k tokens —
+SURVEY.md §5.7), so full K/V for one (batch, head) fit comfortably in VMEM
+(2.3k x 128 bf16 = 0.6 MB each).  Kernels therefore block only the query
+axis — no online-softmax running state, exact softmax per q-block row:
+
+  * forward: grid (B, H, nQ); one [BQ, L] f32 score tile, softmax, PV.
+  * dq:      same grid; recomputes p, dp = dO V^T, ds = p(dp - D_i).
+  * dk/dv:   grid (B, H); fori over q-blocks accumulating into [L, D] f32
+             VMEM scratch (1.2 MB each).
+
+Never materializes [L, L] in HBM — activation memory is O(B·H·L·D), which is
+what lets video sliding-window batches train without remat.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+DEFAULT_BLOCK_Q = 256
+
+# interpret mode for CPU-based testing (set before import)
+_INTERPRET = os.environ.get("GENHANCER_PALLAS_INTERPRET", "0") == "1"
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, block_q):
+    i = pl.program_id(2)
+    q = q_ref[0, 0, :, :]                       # [BQ, D]
+    k = k_ref[0, 0, :, :]                       # [L, D]
+    v = v_ref[0, 0, :, :]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    # mask q rows beyond seq_len is unnecessary (they are dropped on store);
+    # k positions are exact because K/V are unblocked.
+    p = jax.nn.softmax(s, axis=-1)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+
+
+def _to_bhld(x):
+    return x.transpose(0, 2, 1, 3)
+
+
+def _fwd(q, k, v, block_q):
+    """q/k/v arrive [B, L, H, D]; kernels run in [B, H, L, D] (TPU lowering
+    needs the blocked seq dim in the last-two block positions)."""
+    b, l, h, d = q.shape
+    nq = pl.cdiv(l, block_q)
+    scale = 1.0 / (d ** 0.5)
+    kernel = functools.partial(_fwd_kernel, scale=scale, seq_len=l,
+                               block_q=block_q)
+    qt, kt, vt = _to_bhld(q), _to_bhld(k), _to_bhld(v)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        interpret=_INTERPRET,
+    )(qt, kt, vt)
+    return _to_bhld(out)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, *, scale):
+    q = q_ref[0, 0, :, :]
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
+    o = o_ref[0, 0, :, :].astype(jnp.float32)
+    do = do_ref[0, 0, :, :].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dp = jax.lax.dot_general(do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    d_i = jnp.sum(do * o, axis=-1, keepdims=True)
+    ds = p * (dp - d_i)
+    dq = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dk_ref, dv_ref,
+                dk_acc, dv_acc, *, scale, block_q, n_q_blocks):
+    """q/o/do arrive zero-padded to a block_q multiple: a zero-padded row has
+    do = 0, so dp = 0, d_i = 0 -> ds = 0 and dv-contribution p^T @ 0 = 0 —
+    padded rows contribute exactly nothing, no masking needed."""
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def body(qi, _):
+        sl = pl.ds(qi * block_q, block_q)
+        q = q_ref[0, 0, sl, :]
+        o = o_ref[0, 0, sl, :].astype(jnp.float32)
+        do = do_ref[0, 0, sl, :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        dp = jax.lax.dot_general(do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d_i = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = p * (dp - d_i)
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return ()
+
+    jax.lax.fori_loop(0, n_q_blocks, body, ())
+    dk_ref[0, 0, :, :] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd(block_q, res, do):
+    q, k, v, o = res
+    b, l, h, d = q.shape
+    nq = pl.cdiv(l, block_q)
+    scale = 1.0 / (d ** 0.5)
+    qt, kt, vt, ot, dot = (x.transpose(0, 2, 1, 3) for x in (q, k, v, o, do))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale),
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        interpret=_INTERPRET,
+    )(qt, kt, vt, ot, dot)
+
+    # zero-pad the q axis so in-kernel pl.ds never clamps (see _dkv_kernel)
+    l_pad = nq * block_q
+    if l_pad != l:
+        pad = [(0, 0), (0, 0), (0, l_pad - l), (0, 0)]
+        q_p, o_p, do_p = (jnp.pad(x, pad) for x in (qt, ot, dot))
+    else:
+        q_p, o_p, do_p = qt, ot, dot
+
+    full_kv = pl.BlockSpec((1, 1, l, d), lambda bi, hi: (bi, hi, 0, 0))
+    full_q = pl.BlockSpec((1, 1, l_pad, d), lambda bi, hi: (bi, hi, 0, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q,
+                          n_q_blocks=nq),
+        grid=(b, h),
+        in_specs=[full_q, full_kv, full_kv, full_q, full_q],
+        out_specs=(full_kv, full_kv),
+        out_shape=(jax.ShapeDtypeStruct(kt.shape, k.dtype),
+                   jax.ShapeDtypeStruct(vt.shape, v.dtype)),
+        scratch_shapes=[pltpu.VMEM((l, d), jnp.float32),
+                        pltpu.VMEM((l, d), jnp.float32)],
+        interpret=_INTERPRET,
+    )(q_p, kt, vt, o_p, do_p)
+    return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
+            dv.transpose(0, 2, 1, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q):
+    """q, k, v: [B, L, H, D] -> [B, L, H, D] (exact softmax attention)."""
+    return _fwd(q, k, v, block_q)
+
+
+def _flash_fwd(q, k, v, block_q):
+    o = _fwd(q, k, v, block_q)
+    return o, (q, k, v, o)
+
+
+flash_attention.defvjp(_flash_fwd, _bwd)

@@ -23,9 +23,10 @@ _SENTINEL = object()
 
 class DevicePrefetcher:
     def __init__(self, host_iter, mesh=None, depth: int = 2,
-                 array_keys: Optional[set] = None):
+                 array_keys: Optional[set] = None, batch_axis: int = 0):
         self.host_iter = iter(host_iter)
         self.mesh = mesh
+        self.batch_axis = batch_axis
         self.queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self.array_keys = array_keys
         self._err: Optional[BaseException] = None
@@ -38,7 +39,7 @@ class DevicePrefetcher:
                                                     or k in self.array_keys)}
         rest = {k: v for k, v in batch.items() if k not in arrays}
         if self.mesh is not None:
-            arrays = mesh_m.shard_batch(arrays, self.mesh)
+            arrays = mesh_m.shard_batch(arrays, self.mesh, axis=self.batch_axis)
         else:
             arrays = jax.tree_util.tree_map(jax.device_put, arrays)
         arrays.update(rest)

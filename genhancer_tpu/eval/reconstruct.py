@@ -1,0 +1,89 @@
+"""Stage-1 reconstruction pipeline — the visual smoke test.
+
+Implements the *intended* behavior of the reference's bitrotted
+``Continuous/reconstruction/reconstruct_stage1.py`` (SURVEY.md §2.6: broken
+imports / signature drift): given an input image and stage-1 checkpoints,
+condition the DiT on the tower's class token, run the shifted-schedule Euler
+sampler from pure noise, decode with the VAE, save input/output JPEGs.
+
+The whole denoise loop (num_steps DiT forwards) compiles into one jit.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import dit as dit_m
+from ..models import vae as vae_m
+from ..tasks.conditioning import image_conditioning
+from ..train import flow
+
+
+def reconstruct(params: dict, spec, image01: np.ndarray, *, num_steps: int = 20,
+                guidance: float = 4.0, seed: int = 0,
+                shift_schedule: bool = True) -> np.ndarray:
+    """params: {dit, vae, clip{model, project_clip, project_t5}} nested trees;
+    spec: tasks.image.TaskSpec; image01: [B, H, W, 3] in [0,1].
+    Returns reconstructed [B, H, W, 3] in [0,1]."""
+    b, h_px, w_px, _ = image01.shape
+    lat_h, lat_w = spec.latent_hw
+    seq_len = (lat_h // 2) * (lat_w // 2)
+    timesteps = flow.get_schedule(num_steps, seq_len, shift=shift_schedule)
+
+    @jax.jit
+    def run(params, image01, key):
+        cond = image_conditioning(spec.tower_kind, params["clip"], image01,
+                                  spec.tower_cfg, spec.latent_hw,
+                                  compute_dtype=spec.compute_dtype)
+        noise = jax.random.normal(key, (b, lat_h, lat_w, spec.vae_cfg.z_channels),
+                                  jnp.float32)
+        img = dit_m.pack_latent(noise).astype(spec.compute_dtype)
+
+        def model_fn(x, t_vec, g_vec):
+            return dit_m.dit_forward(
+                params["dit"], spec.dit_cfg, img=x, img_ids=cond["img_ids"],
+                txt=cond["txt"].astype(x.dtype), txt_ids=cond["txt_ids"],
+                timesteps=t_vec, y=cond["vec"].astype(x.dtype), guidance=g_vec)
+
+        tokens = flow.denoise_euler(model_fn, img, timesteps, guidance)
+        lat = dit_m.unpack_latent(tokens.astype(jnp.float32), lat_h, lat_w)
+        out = vae_m.vae_decode(params["vae"], spec.vae_cfg, lat)
+        return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)   # inverse 0.5/0.5 normalize
+
+    return np.asarray(run(params, jnp.asarray(image01), jax.random.key(seed)))
+
+
+def reconstruct_from_checkpoints(spec, load_dir: str, load_step: int,
+                                 image_path: str, output_dir: str,
+                                 tower_params=None, vae_params=None,
+                                 num_steps: int = 20, seed: int = 0) -> str:
+    """CLI-level flow: load stage-1 .bins + tower/VAE weights, reconstruct
+    one image, save input/output JPEGs (reconstruct_stage1.py:202-207)."""
+    from PIL import Image
+    from ..data.transforms import eval_image_transform
+    from ..tasks.image import init_modules, trainable_predicate
+    from ..train.checkpoint import load_stage1_components
+    from ..train.state import create_state
+    from ..train import optim
+    from ..train.config import Config, TRAIN_DEFAULTS
+
+    modules = init_modules(jax.random.key(seed), spec, tower_params, vae_params)
+    optimizer = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+    state = create_state(modules, trainable_predicate(spec, modules), optimizer)
+    state = load_stage1_components(state, load_dir, load_step, kind="image")
+    params = state.params()
+
+    img = eval_image_transform(open(image_path, "rb").read(), spec.img_size)
+    out = reconstruct(params, spec, img[None], num_steps=num_steps, seed=seed)
+
+    os.makedirs(output_dir, exist_ok=True)
+    in_path = os.path.join(output_dir, "input.jpg")
+    out_path = os.path.join(output_dir, "reconstruction.jpg")
+    Image.fromarray((img * 255).astype(np.uint8)).save(in_path)
+    Image.fromarray((out[0] * 255).astype(np.uint8)).save(out_path)
+    return out_path

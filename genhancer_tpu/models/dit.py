@@ -65,9 +65,13 @@ class DiTConfig:
 
 # Model registry — parity with src/flux/util.py:124-191 ("flux-dev"/"flux-schnell";
 # the lightweight 2+4-block denoiser, pretrained FLUX weights deliberately unused).
+# "flux-debug" is a framework addition: a miniature DiT with identical topology
+# and IO contract (64ch latent tokens, 4096 ctx) for smoke tests / CI.
 DIT_CONFIGS = {
     "flux-dev": DiTConfig(guidance_embed=True),
     "flux-schnell": DiTConfig(guidance_embed=False),
+    "flux-debug": DiTConfig(hidden_size=256, num_heads=8, axes_dim=(8, 12, 12),
+                            guidance_embed=True),
 }
 
 

@@ -78,6 +78,38 @@ class CLIPConfig:
     projection_dim: int = 768
     logit_scale_init: float = 2.6592
 
+    def to_hf(self) -> dict:
+        """HF CLIPConfig-compatible dict (for synthesized config.json in
+        stage-2 exports when no base model dir is available)."""
+        return {
+            "architectures": ["CLIPModel"], "model_type": "clip",
+            "projection_dim": self.projection_dim,
+            "logit_scale_init_value": self.logit_scale_init,
+            "vision_config": {
+                "model_type": "clip_vision_model",
+                "hidden_size": self.vision.hidden_size,
+                "intermediate_size": self.vision.intermediate_size,
+                "num_hidden_layers": self.vision.num_layers,
+                "num_attention_heads": self.vision.num_heads,
+                "image_size": self.vision.image_size,
+                "patch_size": self.vision.patch_size,
+                "layer_norm_eps": self.vision.layer_norm_eps,
+                "hidden_act": self.vision.hidden_act,
+            },
+            "text_config": {
+                "model_type": "clip_text_model",
+                "hidden_size": self.text.hidden_size,
+                "intermediate_size": self.text.intermediate_size,
+                "num_hidden_layers": self.text.num_layers,
+                "num_attention_heads": self.text.num_heads,
+                "vocab_size": self.text.vocab_size,
+                "max_position_embeddings": self.text.max_position_embeddings,
+                "eos_token_id": self.text.eos_token_id,
+                "layer_norm_eps": self.text.layer_norm_eps,
+                "hidden_act": self.text.hidden_act,
+            },
+        }
+
     @staticmethod
     def from_hf(cfg: dict) -> "CLIPConfig":
         v, t = cfg["vision_config"], cfg["text_config"]

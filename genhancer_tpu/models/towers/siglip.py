@@ -72,6 +72,36 @@ class SiglipConfig:
     vision: SiglipVisionConfig = SiglipVisionConfig()
     text: SiglipTextConfig = SiglipTextConfig()
 
+    def to_hf(self) -> dict:
+        """HF SiglipConfig-compatible dict (synthesized config.json for
+        stage-2 exports without a base model dir)."""
+        return {
+            "architectures": ["SiglipModel"], "model_type": "siglip",
+            "vision_config": {
+                "model_type": "siglip_vision_model",
+                "hidden_size": self.vision.hidden_size,
+                "intermediate_size": self.vision.intermediate_size,
+                "num_hidden_layers": self.vision.num_layers,
+                "num_attention_heads": self.vision.num_heads,
+                "image_size": self.vision.image_size,
+                "patch_size": self.vision.patch_size,
+                "layer_norm_eps": self.vision.layer_norm_eps,
+                "hidden_act": self.vision.hidden_act,
+            },
+            "text_config": {
+                "model_type": "siglip_text_model",
+                "hidden_size": self.text.hidden_size,
+                "intermediate_size": self.text.intermediate_size,
+                "num_hidden_layers": self.text.num_layers,
+                "num_attention_heads": self.text.num_heads,
+                "vocab_size": self.text.vocab_size,
+                "max_position_embeddings": self.text.max_position_embeddings,
+                "projection_size": self.text.projection_size,
+                "layer_norm_eps": self.text.layer_norm_eps,
+                "hidden_act": self.text.hidden_act,
+            },
+        }
+
     @staticmethod
     def from_hf(cfg: dict) -> "SiglipConfig":
         v, t = cfg["vision_config"], cfg["text_config"]

@@ -37,7 +37,12 @@ class VAEConfig:
     shift_factor: float = 0.1159
 
 
-VAE_CONFIGS = {"flux-dev": VAEConfig(), "flux-schnell": VAEConfig()}
+VAE_CONFIGS = {
+    "flux-dev": VAEConfig(),
+    "flux-schnell": VAEConfig(),
+    # miniature VAE with the same f8/z16 IO contract, for smoke tests / CI
+    "flux-debug": VAEConfig(ch=32),
+}
 
 
 def swish(x):

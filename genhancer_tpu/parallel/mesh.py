@@ -55,10 +55,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host numpy batch (pytree of [B, ...]) onto the mesh, sharded on
-    the data axis.  B must be divisible by the data-axis size."""
-    sh = batch_sharding(mesh)
+def shard_batch(batch, mesh: Mesh, axis: int = 0):
+    """Place a host numpy batch onto the mesh, sharded over the data axis at
+    ``axis`` (axis 1 for accumulation-stacked [accum, B, ...] batches).  The
+    sharded dim must divide the data-axis size."""
+    spec = P(*([None] * axis + [DATA_AXIS]))
+    sh = NamedSharding(mesh, spec)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -1,0 +1,130 @@
+"""Task factory: config -> (spec, loader, step builder, checkpoint kind).
+
+One config-driven dispatcher replaces the reference's 12 monolithic trainer
+scripts (SURVEY.md §2.4).  The ``task`` key selects the family:
+
+    image_stage1 / image_stage2_only / image_stage2_all
+    video_middle_stage1 / video_middle_stage2_all
+    video_next_stage1 / video_next_stage2_all
+    video_next2_stage1 / video_next2_stage2_all
+    video_sliding_stage1 / video_sliding_stage2_all
+
+with ``tower: openai_clip|siglip|metaclip`` (+ ``clip_config.clip_type`` for
+metaclip).  ``cli/train.py`` maps reference trainer-script names onto these
+(see TRAINER_COMPAT).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import registry
+from ..data import cc3m as cc3m_data
+from ..data import video as video_data
+from ..train import lora as lora_m
+from . import image as image_task
+from . import video as video_task
+
+
+# reference trainer script name -> (task, tower)
+TRAINER_COMPAT = {
+    "train_SigLIP_stage1": ("image_stage1", "siglip"),
+    "train_SigLIP_stage2_only": ("image_stage2_only", "siglip"),
+    "train_SigLIP_stage2_all": ("image_stage2_all", "siglip"),
+    "train_MetaCLIP_stage1": ("image_stage1", "metaclip"),
+    "train_MetaCLIP_stage2_only": ("image_stage2_only", "metaclip"),
+    "train_MetaCLIP_stage2_all": ("image_stage2_all", "metaclip"),
+    "train_OpenAICLIP_video_stage1": ("video_middle_stage1", "openai_clip"),
+    "train_OpenAICLIP_video_stage2_all": ("video_middle_stage2_all", "openai_clip"),
+    "train_OpenAICLIP_nextpredic_stage1": ("video_next_stage1", "openai_clip"),
+    "train_OpenAICLIP_nextpredic_stage2_all": ("video_next_stage2_all", "openai_clip"),
+    "train_OpenAICLIP_use2frames_nextpredic_stage1": ("video_next2_stage1", "openai_clip"),
+    "train_OpenAICLIP_use2frames_nextpredic_stage2_all": ("video_next2_stage2_all", "openai_clip"),
+    "train_OpenAICLIP_sliding_windows_nextpredic_stage1": ("video_sliding_stage1", "openai_clip"),
+    "train_OpenAICLIP_sliding_windows_nextpredic_stage2_all": ("video_sliding_stage2_all", "openai_clip"),
+}
+
+_VIDEO_MODE = {"video_middle": "middle", "video_next": "next",
+               "video_next2": "next2", "video_sliding": "sliding"}
+_LOADER_MODE = {"middle": "triplet", "next": "next", "next2": "next2",
+                "sliding": "sliding"}
+
+
+def _lora_kwargs(cfg, tower: str) -> dict:
+    lc = cfg.get("lora_config", {}) or {}
+    targets = ("all-linear" if tower in ("openai_clip", "metaclip")
+               else lora_m.SIGLIP_TARGETS)
+    return dict(lora_r=int(lc.get("r", 16)),
+                lora_alpha=float(lc.get("lora_alpha", 16)),
+                lora_targets=lc.get("target_modules", targets))
+
+
+def build_task(cfg, key: Optional[jax.Array] = None):
+    """Returns (spec, modules_loader_fn, loader, make_train_step, ckpt_kind).
+
+    ``modules_loader_fn(key)`` -> (tower_params, tower_cfg, vae_params) so the
+    trainer controls when heavy weights load.
+    """
+    key = key if key is not None else jax.random.key(int(cfg.get("seed", 0)))
+    task: str = cfg["task"]
+    tower: str = cfg.get("tower", "openai_clip")
+    cc = cfg.get("clip_config", {}) or {}
+    dc = cfg.get("data_config", {}) or {}
+    img_size = int(dc.get("img_size", 224))
+    clip_image_size = int(cc.get("clip_image_size", img_size))
+
+    kind, tower_cfg = registry.tower_family_and_config(
+        tower, clip_image_size, cc.get("clip_type"))
+
+    dit_cfg = registry.build_dit_config(cfg.get("model_name", "flux-dev"))
+    vae_params, vae_cfg = registry.build_vae(cfg.get("model_name", "flux-dev"),
+                                             cfg.get("ae_path"),
+                                             jax.random.fold_in(key, 1))
+    tower_params, tower_cfg = registry.load_tower(
+        kind, tower_cfg, cc.get("model_dir"), jax.random.fold_in(key, 2))
+
+    compute_dtype = (jnp.bfloat16 if cfg.get("mixed_precision", "bf16") == "bf16"
+                     else jnp.float32)
+    common = dict(tower_kind=kind, img_size=img_size,
+                  clip_image_size=clip_image_size, dit_cfg=dit_cfg,
+                  vae_cfg=vae_cfg, tower_cfg=tower_cfg,
+                  clip_dim=int(cc.get("clip_dim", 768)),
+                  t5_dim=int(cc.get("t5_dim", 4096)),
+                  scale_factor=float(cfg.get("scale_factor", 1.0)),
+                  guidance=float(cfg.get("guidance", 4.0)),
+                  remat=bool(cfg.get("remat", False)),
+                  compute_dtype=compute_dtype,
+                  dit_param_dtype=compute_dtype)
+
+    data_kwargs = dict(dc)
+    data_kwargs.pop("img_size", None)
+
+    if task.startswith("image_"):
+        stage = task[len("image_"):]
+        spec = image_task.TaskSpec(stage=stage, **common, **_lora_kwargs(cfg, tower))
+        loader = cc3m_data.loader(img_size=img_size, **data_kwargs)
+        return (spec, (tower_params, vae_params), loader,
+                image_task.make_train_step, image_task.create_task_state, "image")
+
+    family, stage = task.rsplit("_stage", 1)
+    mode = _VIDEO_MODE[family]
+    adapter_in = (tower_cfg.vision.hidden_size if hasattr(tower_cfg, "vision")
+                  else 1024)
+    spec = video_task.VideoTaskSpec(
+        mode=mode, stage=f"stage{stage}", adapter_in_dim=adapter_in,
+        **common, **_lora_kwargs(cfg, tower))
+    loader_kwargs = dict(data_kwargs)
+    loader_kwargs.pop("return_mode", None)
+    for k in ("window_cond", "window_stride", "max_windows_per_video"):
+        if k in cfg:
+            loader_kwargs[k] = cfg[k]
+    if "max_frames_per_video" in dc and mode != "sliding":
+        loader_kwargs.pop("max_frames_per_video", None)
+    loader = video_data.loader(mode=_LOADER_MODE[mode], img_size=img_size,
+                               **loader_kwargs)
+    return (spec, (tower_params, vae_params), loader,
+            video_task.make_train_step, video_task.create_task_state, "video")

@@ -51,6 +51,9 @@ class TaskSpec:
     lora_bias: str = "lora_only"
     remat: bool = False
     compute_dtype: object = jnp.bfloat16
+    # Reference stores DiT params in bf16 (train_SigLIP_stage1.py:132) and
+    # runs AdamW directly on them; bf16 halves HBM for params+moments+grads.
+    dit_param_dtype: object = jnp.bfloat16
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -78,8 +81,9 @@ def init_modules(key: jax.Array, spec: TaskSpec,
     if vae_params is None:
         vae_params = vae_m.init_vae(ks[1], spec.vae_cfg)
     d = spec.tower_hidden
+    from ..core.nn import tree_cast
     modules = {
-        "dit": dit_m.init_dit(ks[2], spec.dit_cfg),
+        "dit": tree_cast(dit_m.init_dit(ks[2], spec.dit_cfg), spec.dit_param_dtype),
         "vae": vae_params,
         "clip": {
             "model": tower_params,

@@ -71,6 +71,7 @@ class VideoTaskSpec:
     lora_targets: object = "all-linear"
     remat: bool = False
     compute_dtype: object = jnp.bfloat16
+    dit_param_dtype: object = jnp.bfloat16   # reference parity (bf16 DiT params)
 
     @property
     def n_cond(self) -> int:
@@ -106,8 +107,9 @@ def init_modules(key: jax.Array, spec: VideoTaskSpec,
         tower_params = init_tower(ks[0], spec.tower_cfg)
     if vae_params is None:
         vae_params = vae_m.init_vae(ks[1], spec.vae_cfg)
+    from ..core.nn import tree_cast
     modules = {
-        "dit": dit_m.init_dit(ks[2], spec.dit_cfg),
+        "dit": tree_cast(dit_m.init_dit(ks[2], spec.dit_cfg), spec.dit_param_dtype),
         "vae": vae_params,
         "clip": {
             "model": tower_params,

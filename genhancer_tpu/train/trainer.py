@@ -1,0 +1,244 @@
+"""The training loop: config-driven, mesh-DP, observable, resumable.
+
+Replaces the reference's 12 trainer-script main loops (SURVEY.md §2.4, §3.1)
+with one engine:
+
+  * single-jit step (optionally with gradient accumulation via lax.scan);
+  * batch sharding over the data mesh axis + device prefetch thread;
+  * step/data timers and TensorBoard scalars matching the reference names
+    (``train_loss``, ``step_time``, ``data_load_time``,
+    ``avg_windows_per_video``/``bs_eff`` in sliding mode — §5.1/§5.5);
+  * watchdog warnings for slow data loading / steps
+    (train_OpenAICLIP_video_stage1.py:311-315,470-476);
+  * reference checkpoint cadence incl. stage-2 dense early saves
+    ({50,100,200,300,500,1000,2000,3000}, train_SigLIP_stage2_all.py:305) and
+    robust resume-from-latest;
+  * stage-2 HF export of the LoRA-merged tower.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..parallel import mesh as mesh_m
+from ..tasks import factory
+from ..train import checkpoint as ckpt
+from ..train import optim
+from ..train.step_utils import make_accum_train_step, stack_microbatches
+from ..data.prefetch import DevicePrefetcher
+
+log = logging.getLogger("genhancer_tpu.trainer")
+
+STAGE2_EARLY_SAVES = {50, 100, 200, 300, 500, 1000, 2000, 3000}
+DATA_LOAD_TIMEOUT = 60.0
+STEP_TIMEOUT = 300.0
+
+
+class SummaryWriterProxy:
+    """tensorboardX writer, or a no-op if unavailable/disabled."""
+
+    def __init__(self, logdir: Optional[str], enabled: bool = True):
+        self.writer = None
+        if enabled and logdir:
+            try:
+                from tensorboardX import SummaryWriter
+                os.makedirs(logdir, exist_ok=True)
+                self.writer = SummaryWriter(logdir)
+            except Exception as e:  # pragma: no cover
+                log.warning("tensorboard disabled: %s", e)
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, step)
+
+    def close(self) -> None:
+        if self.writer is not None:
+            self.writer.close()
+
+
+def hf_export_name(cfg, step: int) -> str:
+    """Stage-2 export dir name parity (siglip-so400m-patch14-{size}-{step},
+    clip-vit-large-patch14[-336]-{step}, metaclip-{l14,h14}-fullcc2.5b-{step})."""
+    tower = cfg.get("tower", "openai_clip")
+    size = int(cfg.get_path("clip_config.clip_image_size", 224))
+    if tower == "siglip":
+        return f"siglip-so400m-patch14-{size}-{step}"
+    if tower == "metaclip":
+        t = cfg.get_path("clip_config.clip_type", "large")
+        return f"metaclip-{'l14' if t == 'large' else 'h14'}-fullcc2.5b-{step}"
+    return (f"clip-vit-large-patch14-{step}" if size == 224
+            else f"clip-vit-large-patch14-336-{step}")
+
+
+class Trainer:
+    def __init__(self, cfg, profile: bool = False):
+        self.cfg = cfg
+        self.profile = profile
+        self.output_dir = cfg.get("output_dir", "output")
+        os.makedirs(self.output_dir, exist_ok=True)
+        mesh_m.maybe_initialize_distributed()
+        import math
+        n = int(cfg.get("num_devices") or len(jax.devices()))
+        bs = int(cfg.get_path("data_config.train_batch_size", 1))
+        n_fit = math.gcd(n, bs)
+        if n_fit != n:
+            log.warning("train_batch_size %d not divisible by %d devices; "
+                        "using %d-device data axis", bs, n, n_fit)
+        self.mesh = mesh_m.make_mesh(n_fit)
+        self.is_main = jax.process_index() == 0
+
+        (self.spec, (tower_params, vae_params), self.loader,
+         make_step, create_state, self.ckpt_kind) = factory.build_task(cfg)
+
+        self.accum = int(cfg.get("gradient_accumulation_steps", 1))
+        self.max_steps = int(cfg.get("max_train_steps", 1000))
+        self.optimizer = optim.make_optimizer(cfg, total_steps=self.max_steps)
+
+        key = jax.random.key(int(cfg.get("seed", 0)))
+        self.state = create_state(key, self.spec, self.optimizer,
+                                  tower_params=tower_params,
+                                  vae_params=vae_params)
+
+        # stage-2: load stage-1 components (load_dir/load_step)
+        if cfg.get("load_dir") and cfg.get("load_step") is not None:
+            self.state = ckpt.load_stage1_components(
+                self.state, cfg["load_dir"], int(cfg["load_step"]), self.ckpt_kind)
+            log.info("loaded stage-1 components from %s step %s",
+                     cfg["load_dir"], cfg["load_step"])
+
+        if cfg.get("resume_from_checkpoint") == "latest":
+            before = int(self.state.step)
+            self.state = ckpt.resume_latest(self.state, self.output_dir, self.ckpt_kind)
+            if int(self.state.step) != before:
+                log.info("resumed from step %d", int(self.state.step))
+
+        self.state = mesh_m.replicate(self.state, self.mesh)
+
+        from ..tasks.image import make_loss_fn as image_loss
+        from ..tasks.video import make_loss_fn as video_loss
+        loss_fn = (image_loss(self.spec) if self.ckpt_kind == "image"
+                   else video_loss(self.spec))
+        if self.accum > 1:
+            self.step_fn = make_accum_train_step(loss_fn, self.optimizer, self.accum)
+        else:
+            self.step_fn = make_step(self.spec, self.optimizer)
+
+        self.writer = SummaryWriterProxy(
+            os.path.join(self.output_dir, cfg.get("logging_dir", "logs")),
+            enabled=self.is_main and cfg.get("report_to") == "tensorboard")
+        self.base_key = jax.random.key(int(cfg.get("seed", 0)) + 777)
+
+    # -- input ------------------------------------------------------------
+
+    def _array_batches(self):
+        """Yield device-ready batches (array leaves only; accumulation
+        stacking applied)."""
+        array_keys = {"image", "cond", "target", "valid"}
+
+        def host_iter():
+            pending = []
+            for b in self.loader:
+                arrays = {k: v for k, v in b.items()
+                          if k in array_keys and isinstance(v, np.ndarray)}
+                extras = {k: v for k, v in b.items() if k not in arrays}
+                if self.accum > 1:
+                    pending.append(arrays)
+                    if len(pending) == self.accum:
+                        yield {**stack_microbatches(pending), "__extras__": extras}
+                        pending = []
+                else:
+                    yield {**arrays, "__extras__": extras}
+
+        return DevicePrefetcher(host_iter(), mesh=self.mesh,
+                                array_keys=array_keys, depth=2,
+                                batch_axis=1 if self.accum > 1 else 0)
+
+    # -- checkpointing -----------------------------------------------------
+
+    def _should_checkpoint(self, step: int) -> bool:
+        every = int(self.cfg.get("checkpointing_steps", 0) or 0)
+        if every and step % every == 0:
+            return True
+        if self.spec.stage.startswith("stage2") and step in STAGE2_EARLY_SAVES:
+            return True
+        return False
+
+    def _checkpoint(self, step: int) -> None:
+        if not self.is_main:
+            return
+        ckpt.save_stage1(self.state, self.output_dir, step, self.ckpt_kind)
+        if self.spec.stage.startswith("stage2"):
+            out = os.path.join(self.output_dir, hf_export_name(self.cfg, step))
+            base_cfg = (self.spec.tower_cfg.to_hf()
+                        if hasattr(self.spec.tower_cfg, "to_hf") else None)
+            ckpt.export_hf_tower(self.state, out,
+                                 base_config=base_cfg,
+                                 base_model_dir=self.cfg.get_path("clip_config.model_dir"))
+        log.info("saved checkpoint at step %d", step)
+
+    # -- loop --------------------------------------------------------------
+
+    def train(self) -> dict:
+        step = int(self.state.step)
+        last_data_t = time.time()
+        metrics_out = {}
+        trace_dir = os.path.join(self.output_dir, "profile") if self.profile else None
+        batches = self._array_batches()
+
+        for batch in batches:
+            if step >= self.max_steps:
+                break
+            data_load_time = time.time() - last_data_t
+            if data_load_time > DATA_LOAD_TIMEOUT:
+                log.warning("data loading slow: %.1fs > %.0fs", data_load_time,
+                            DATA_LOAD_TIMEOUT)
+            extras = batch.pop("__extras__", {})
+
+            if trace_dir and step == 2:
+                jax.profiler.start_trace(trace_dir)
+
+            t0 = time.time()
+            key = jax.random.fold_in(self.base_key, step)
+            self.state, metrics = self.step_fn(self.state, batch, key)
+            loss = float(metrics["loss"])  # blocks: gives true step time
+            step_time = time.time() - t0
+            if step_time > STEP_TIMEOUT:
+                log.error("step timeout: %.1fs > %.0fs", step_time, STEP_TIMEOUT)
+
+            if trace_dir and step == 4:
+                jax.profiler.stop_trace()
+
+            step += 1
+            metrics_out = {"loss": loss, "step": step,
+                           "grad_norm": float(metrics["grad_norm"]),
+                           "step_time": step_time,
+                           "data_load_time": data_load_time}
+            self.writer.scalar("train_loss", loss, step)
+            self.writer.scalar("step_time", step_time, step)
+            self.writer.scalar("data_load_time", data_load_time, step)
+            for k in ("avg_windows_per_video", "bs_eff"):
+                if k in extras:
+                    self.writer.scalar(k, float(extras[k]), step)
+            if step % 10 == 0 or step == 1:
+                log.info("step %d: loss=%.4f step_time=%.3fs data=%.3fs",
+                         step, loss, step_time, data_load_time)
+
+            if self._should_checkpoint(step):
+                self._checkpoint(step)
+                self._last_saved = step
+            last_data_t = time.time()
+
+        if step > 0 and self.is_main and getattr(self, "_last_saved", None) != step:
+            self._checkpoint(step)
+        self.writer.close()
+        return metrics_out
+
+
+def train_from_config(cfg, profile: bool = False) -> dict:
+    return Trainer(cfg, profile=profile).train()

@@ -69,7 +69,14 @@ def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
     """Write a ``torch.save``-compatible ``.bin`` readable by ``torch.load``
     and HF ``from_pretrained``."""
     import torch
-    tsd = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v))) for k, v in sd.items()}
+
+    def to_tensor(v: np.ndarray):
+        v = np.ascontiguousarray(np.asarray(v))
+        if v.dtype.name == "bfloat16":  # ml_dtypes.bfloat16 -> torch.bfloat16
+            return torch.from_numpy(v.view(np.uint16).copy()).view(torch.bfloat16)
+        return torch.from_numpy(v.copy())
+
+    tsd = {k: to_tensor(v) for k, v in sd.items()}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     torch.save(tsd, path)
 
