@@ -102,6 +102,9 @@ def build_task(cfg, key: Optional[jax.Array] = None):
 
     data_kwargs = dict(dc)
     data_kwargs.pop("img_size", None)
+    # per-host shard splitting (webdataset split_by_node equivalent, §5.8)
+    data_kwargs.setdefault("node_index", jax.process_index())
+    data_kwargs.setdefault("node_count", jax.process_count())
 
     if task.startswith("image_"):
         stage = task[len("image_"):]

@@ -72,6 +72,28 @@ def get_schedule(num_steps: int, image_seq_len: int, base_shift: float = 0.5,
     return [float(t) for t in timesteps]
 
 
+def denoise_euler_cfg(model_fn, img: jax.Array, timesteps, *,
+                      guidance: float = 4.0, true_gs: float = 1.0,
+                      neg_model_fn=None, timestep_to_start_cfg: int = 0):
+    """Euler sampler with classifier-free guidance (sampling.py:97-150).
+
+    ``model_fn(img, t_vec, g_vec)`` is the positive-conditioning DiT call;
+    ``neg_model_fn`` the negative one.  ``pred = neg + true_gs*(pos - neg)``
+    from step ``timestep_to_start_cfg`` on; with ``neg_model_fn=None`` this
+    reduces to plain Euler (the reconstruction pipeline's no-negative mode).
+    """
+    b = img.shape[0]
+    guidance_vec = jnp.full((b,), guidance, dtype=img.dtype)
+    for i, (t_curr, t_prev) in enumerate(zip(timesteps[:-1], timesteps[1:])):
+        t_vec = jnp.full((b,), t_curr, dtype=img.dtype)
+        pred = model_fn(img, t_vec, guidance_vec)
+        if neg_model_fn is not None and i >= timestep_to_start_cfg:
+            neg_pred = neg_model_fn(img, t_vec, guidance_vec)
+            pred = neg_pred + true_gs * (pred - neg_pred)
+        img = img + (t_prev - t_curr) * pred
+    return img
+
+
 def denoise_euler(model_fn, img: jax.Array, timesteps, guidance: float = 4.0):
     """Euler integration: img += (t_prev - t_curr) * v(img, t).
 
