@@ -30,6 +30,7 @@ class CC3MLoader:
         self.batch_size = train_batch_size
         self.img_size = img_size
         self.train = train
+        self.num_workers = max(1, num_workers)
         self.rng = np.random.default_rng(seed)
         self.stream = ShardStream(img_dir, node_index=node_index,
                                   node_count=node_count,
@@ -51,7 +52,49 @@ class CC3MLoader:
         txt = sample.get("txt", b"")
         return img, txt.decode("utf-8", "replace") if isinstance(txt, bytes) else str(txt)
 
+    def _iter_native(self) -> Iterator[Dict]:
+        """Fast path: batched decode in the native C++ library (no GIL)."""
+        from . import native_decode as nd
+        images, texts = [], []
+        sample_iter = iter(self.stream)
+        done = False
+        while not done:
+            blobs, txts = [], []
+            while len(blobs) < self.batch_size * 2:
+                try:
+                    s = next(sample_iter)
+                except StopIteration:
+                    done = True
+                    break
+                jpg = s.get("jpg") or s.get("jpeg")
+                if jpg is None:
+                    continue
+                t = s.get("txt", b"")
+                blobs.append(jpg)
+                txts.append(t.decode("utf-8", "replace") if isinstance(t, bytes) else str(t))
+            if blobs:
+                if self.train:
+                    arrs, ok = nd.decode_batch_random_crop(
+                        blobs, self.img_size, self.rng, num_threads=self.num_workers)
+                else:
+                    arrs, ok = nd.decode_batch_center(
+                        blobs, self.img_size, num_threads=self.num_workers)
+                for i in range(len(blobs)):
+                    if not ok[i]:
+                        continue
+                    images.append(arrs[i])
+                    texts.append(txts[i])
+                    if len(images) == self.batch_size:
+                        yield self._batch(images, texts)
+                        images, texts = [], []
+        if images:
+            yield self._batch(images, texts)
+
     def __iter__(self) -> Iterator[Dict]:
+        from . import native_decode as nd
+        if nd.available():
+            yield from self._iter_native()
+            return
         images, texts = [], []
         sample_iter = iter(self.stream)
         while True:

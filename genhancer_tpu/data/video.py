@@ -42,9 +42,16 @@ class VideoLoaderBase:
                                   node_count=node_count,
                                   shuffle_buffer=shuffle_buffer, seed=seed,
                                   repeat=repeat, group_videos=True)
-        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self.num_workers = max(1, num_workers)
+        self.pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
     def _decode_frames(self, frames: List, indices: List[int]) -> Optional[np.ndarray]:
+        from . import native_decode as nd
+        if nd.available():
+            arrs, ok = nd.decode_batch_center(
+                [frames[i][1] for i in indices], self.img_size,
+                num_threads=self.num_workers)
+            return arrs if bool(ok.all()) else None
         try:
             imgs = list(self.pool.map(
                 lambda i: video_frame_transform(frames[i][1], self.img_size), indices))
