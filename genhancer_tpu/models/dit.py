@@ -152,8 +152,10 @@ def _qk_norm(norm_p, q, k, v):
     return q, k
 
 
-def _double_block(p, img, txt, vec, cos, sin, num_heads):
-    """DoubleStreamBlockProcessor (layers.py:303-337)."""
+def _double_block(p, img, txt, vec, cos, sin, num_heads, ip=None):
+    """DoubleStreamBlockProcessor (layers.py:303-337); with ``ip`` =
+    (block_ip_params, image_proj, ip_scale) adds the IP-adapter residual
+    (IPDoubleStreamBlockProcessor, layers.py:245-301)."""
     (img_m1, img_m2) = nn.modulation(p["img"]["mod"], vec, double=True)
     (txt_m1, txt_m2) = nn.modulation(p["txt"]["mod"], vec, double=True)
 
@@ -184,11 +186,19 @@ def _double_block(p, img, txt, vec, cos, sin, num_heads):
     txt_h = (1 + txt_m2[1]) * nn.layernorm({}, txt) + txt_m2[0]
     txt = txt + txt_m2[2] * nn.linear(p["txt"]["mlp"]["2"],
                                       nn.gelu_tanh(nn.linear(p["txt"]["mlp"]["0"], txt_h)))
+
+    if ip is not None:
+        from .ip_adapter import ip_attention
+        block_ip, image_proj, ip_scale = ip
+        img = img + ip_scale * ip_attention(block_ip, iq, image_proj, num_heads)
     return img, txt
 
 
-def _single_block(p, x, vec, cos, sin, num_heads, hidden_size, mlp_hidden):
-    """SingleStreamBlockProcessor (layers.py:485-501): fused qkv+mlp_in, proj+mlp_out."""
+def _single_block(p, x, vec, cos, sin, num_heads, hidden_size, mlp_hidden,
+                  ip=None):
+    """SingleStreamBlockProcessor (layers.py:485-501): fused qkv+mlp_in,
+    proj+mlp_out; ``ip`` adds the IP residual to the attention stream
+    (IPSingleStreamBlockProcessor, layers.py:411-455)."""
     (mod,) = nn.modulation(p["modulation"], vec, double=False)
     x_mod = (1 + mod[1]) * nn.layernorm({}, x) + mod[0]
     lin1 = nn.linear(p["linear1"], x_mod)
@@ -196,6 +206,11 @@ def _single_block(p, x, vec, cos, sin, num_heads, hidden_size, mlp_hidden):
     q, k, v = _split_qkv(qkv, num_heads)
     q, k = _qk_norm(p["norm"], q, k, v)
     attn_out = attention(q, k, v, cos, sin)
+    if ip is not None:
+        from .ip_adapter import ip_attention
+        block_ip, image_proj, ip_scale = ip
+        attn_out = attn_out + ip_scale * ip_attention(block_ip, q, image_proj,
+                                                     num_heads)
     out = nn.linear(p["linear2"], jnp.concatenate([attn_out, nn.gelu_tanh(mlp)], axis=-1))
     return x + mod[2] * out
 
@@ -205,7 +220,10 @@ def dit_forward(params: dict, cfg: DiTConfig, *,
                 txt: jax.Array, txt_ids: jax.Array,
                 timesteps: jax.Array, y: jax.Array,
                 guidance: Optional[jax.Array] = None,
-                remat: bool = False) -> jax.Array:
+                remat: bool = False,
+                image_proj: Optional[jax.Array] = None,
+                ip_params: Optional[dict] = None,
+                ip_scale: float = 1.0) -> jax.Array:
     """img: [B, L_img, 64] packed latent tokens; txt: [B, L_txt, 4096];
     ids: [B, L, 3]; timesteps/guidance: [B]; y: [B, vec_in_dim].
     Returns velocity tokens [B, L_img, 64].  Parity: model.py:137-228."""
@@ -233,12 +251,22 @@ def dit_forward(params: dict, cfg: DiTConfig, *,
         dblock = jax.checkpoint(dblock, static_argnums=(6,))
         sblock = jax.checkpoint(sblock, static_argnums=(5, 6, 7))
 
-    for p in params["double_blocks"]:
-        img, txt = dblock(p, img, txt, vec, cos, sin, cfg.num_heads)
+    use_ip = image_proj is not None and ip_params is not None
+    if use_ip:
+        from .ip_adapter import image_proj_model
+        if image_proj.ndim == 2:  # raw CLIP embedding -> project to tokens
+            image_proj = image_proj_model(ip_params["image_proj_model"], image_proj)
+        image_proj = image_proj.astype(compute_dtype)
+
+    for i, p in enumerate(params["double_blocks"]):
+        ip = ((ip_params["ip_double"][i], image_proj, ip_scale) if use_ip else None)
+        img, txt = dblock(p, img, txt, vec, cos, sin, cfg.num_heads, ip)
 
     x = jnp.concatenate([txt, img], axis=1)
-    for p in params["single_blocks"]:
-        x = sblock(p, x, vec, cos, sin, cfg.num_heads, cfg.hidden_size, cfg.mlp_hidden)
+    for i, p in enumerate(params["single_blocks"]):
+        ip = ((ip_params["ip_single"][i], image_proj, ip_scale) if use_ip else None)
+        x = sblock(p, x, vec, cos, sin, cfg.num_heads, cfg.hidden_size,
+                   cfg.mlp_hidden, ip)
     img = x[:, txt.shape[1]:]
 
     # LastLayer (layers.py:561-572)
