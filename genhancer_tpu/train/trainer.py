@@ -205,8 +205,20 @@ class Trainer:
 
             t0 = time.time()
             key = jax.random.fold_in(self.base_key, step)
-            self.state, metrics = self.step_fn(self.state, batch, key)
-            loss = float(metrics["loss"])  # blocks: gives true step time
+            try:
+                self.state, metrics = self.step_fn(self.state, batch, key)
+                loss = float(metrics["loss"])  # blocks: gives true step time
+            except RuntimeError as e:
+                # error triage parity (train_OpenAICLIP_video_stage1.py:531-540):
+                # communication/resource failures stop cleanly; logic errors raise
+                msg = str(e)
+                if any(s in msg for s in ("RESOURCE_EXHAUSTED", "DEADLINE",
+                                          "UNAVAILABLE", "collective",
+                                          "timeout")):
+                    log.error("distributed/resource error at step %d — "
+                              "stopping for relaunch+resume: %s", step, msg[:500])
+                    break
+                raise
             step_time = time.time() - t0
             if step_time > STEP_TIMEOUT:
                 log.error("step timeout: %.1fs > %.0fs", step_time, STEP_TIMEOUT)
