@@ -96,7 +96,7 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   t5_dim=int(cc.get("t5_dim", 4096)),
                   scale_factor=float(cfg.get("scale_factor", 1.0)),
                   guidance=float(cfg.get("guidance", 4.0)),
-                  remat=bool(cfg.get("remat", False)),
+                  remat=bool(cfg.get("remat") or False),
                   compute_dtype=compute_dtype,
                   dit_param_dtype=compute_dtype)
 
@@ -117,6 +117,15 @@ def build_task(cfg, key: Optional[jax.Array] = None):
     mode = _VIDEO_MODE[family]
     adapter_in = (tower_cfg.vision.hidden_size if hasattr(tower_cfg, "vision")
                   else 1024)
+    # Long-conditioning video modes (e.g. sliding-window @336px: 3*576 txt +
+    # 441 img tokens) need activation remat to fit HBM — auto-enable unless
+    # the config sets remat explicitly.
+    if cfg.get("remat") is None:
+        n_cond = video_task.VIDEO_MODES[mode]["n_cond"]
+        patch = (tower_cfg.vision.patch_size if hasattr(tower_cfg, "vision") else 14)
+        seq = n_cond * (clip_image_size // patch) ** 2 + (img_size // 16) ** 2
+        if seq >= 1024:
+            common = dict(common, remat=True)
     spec = video_task.VideoTaskSpec(
         mode=mode, stage=f"stage{stage}", adapter_in_dim=adapter_in,
         **common, **_lora_kwargs(cfg, tower))

@@ -79,7 +79,7 @@ TRAIN_DEFAULTS = {
     "max_train_steps": 1000,
     "num_train_epochs": 1,
     "seed": 0,
-    "remat": False,
+    "remat": None,     # None = auto (enabled for long-sequence video modes)
     "num_devices": None,          # None -> all local devices on the data axis
 }
 
