@@ -149,6 +149,31 @@ def load_stage1_components(state: TrainState, load_dir: str, load_step: int,
     return state
 
 
+def all_steps(output_dir: str) -> List[int]:
+    if not os.path.isdir(output_dir):
+        return []
+    return sorted(int(m.group(1)) for name in os.listdir(output_dir)
+                  if (m := _STEP_RE.match(name)))
+
+
+def prune_checkpoints(output_dir: str, total_limit: int) -> List[int]:
+    """Keep only the newest ``total_limit`` checkpoint steps
+    (checkpoints_total_limit config knob); returns pruned steps."""
+    steps = all_steps(output_dir)
+    if total_limit <= 0 or len(steps) <= total_limit:
+        return []
+    doomed = steps[: len(steps) - total_limit]
+    prefixes = ("checkpoint-dit-", "checkpoint-project-clip-",
+                "checkpoint-project-t5-", "checkpoint-visual-adapter-",
+                "optimizer-state-")
+    for s in doomed:
+        for p in prefixes:
+            path = os.path.join(output_dir, f"{p}{s}.bin")
+            if os.path.exists(path):
+                os.remove(path)
+    return doomed
+
+
 def latest_step(output_dir: str) -> Optional[int]:
     """Robust latest-checkpoint discovery (fixes Q2)."""
     if not os.path.isdir(output_dir):

@@ -180,6 +180,11 @@ class Trainer:
             ckpt.export_hf_tower(self.state, out,
                                  base_config=base_cfg,
                                  base_model_dir=self.cfg.get_path("clip_config.model_dir"))
+        limit = int(self.cfg.get("checkpoints_total_limit") or 0)
+        if limit:
+            pruned = ckpt.prune_checkpoints(self.output_dir, limit)
+            if pruned:
+                log.info("pruned old checkpoints: %s", pruned)
         log.info("saved checkpoint at step %d", step)
 
     # -- loop --------------------------------------------------------------

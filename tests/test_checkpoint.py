@@ -102,3 +102,23 @@ class TestRoundTrip:
         assert not any("lora" in k for k in sd)
         cfg = load_hf_config(out)
         assert cfg["model_type"] == "clip"
+
+
+class TestPruning:
+    def test_prune_keeps_newest(self, tmp_path, state):
+        from genhancer_tpu.train import checkpoint as C2
+        st, _ = state
+        for s in (1, 2, 3, 4):
+            C2.save_stage1(st, str(tmp_path), s, "image")
+        pruned = C2.prune_checkpoints(str(tmp_path), 2)
+        assert pruned == [1, 2]
+        assert C2.all_steps(str(tmp_path)) == [3, 4]
+        import os
+        assert not os.path.exists(tmp_path / "optimizer-state-1.bin")
+        assert os.path.exists(tmp_path / "checkpoint-project-clip-3.bin")
+
+    def test_no_prune_under_limit(self, tmp_path, state):
+        from genhancer_tpu.train import checkpoint as C2
+        st, _ = state
+        C2.save_stage1(st, str(tmp_path), 1, "image")
+        assert C2.prune_checkpoints(str(tmp_path), 5) == []
