@@ -214,9 +214,17 @@ def diagonal_gaussian(key, moments: jax.Array, sample: bool = True) -> jax.Array
 
 
 def vae_encode(params, cfg: VAEConfig, x: jax.Array, key=None,
-               sample: bool = True) -> jax.Array:
-    """Full encode: moments -> (sampled) z -> scale*(z - shift). fp32 compute."""
-    moments = encoder_forward(params["encoder"], cfg, x.astype(jnp.float32))
+               sample: bool = True, dtype=jnp.float32) -> jax.Array:
+    """Full encode: moments -> (sampled) z -> scale*(z - shift).
+
+    ``dtype`` is the conv compute dtype: float32 by default (reference parity
+    — the frozen encoder runs fp32 in every trainer,
+    train_SigLIP_stage1.py:243); bfloat16 roughly halves encode time on TPU
+    with sub-1e-2 latent drift (the latents feed a noised interpolation, so
+    the objective is robust to it).  Output is always float32.
+    """
+    moments = encoder_forward(params["encoder"], cfg, x.astype(dtype))
+    moments = moments.astype(jnp.float32)
     if sample and key is None:
         raise ValueError("key required when sample=True")
     z = diagonal_gaussian(key, moments, sample=sample)

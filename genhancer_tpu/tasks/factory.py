@@ -98,7 +98,9 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   guidance=float(cfg.get("guidance", 4.0)),
                   remat=bool(cfg.get("remat") or False),
                   compute_dtype=compute_dtype,
-                  dit_param_dtype=compute_dtype)
+                  dit_param_dtype=compute_dtype,
+                  vae_dtype=(jnp.bfloat16 if cfg.get("vae_dtype") == "bf16"
+                             else jnp.float32))
 
     data_kwargs = dict(dc)
     data_kwargs.pop("img_size", None)

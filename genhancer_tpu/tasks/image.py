@@ -54,6 +54,7 @@ class TaskSpec:
     # Reference stores DiT params in bf16 (train_SigLIP_stage1.py:132) and
     # runs AdamW directly on them; bf16 halves HBM for params+moments+grads.
     dit_param_dtype: object = jnp.bfloat16
+    vae_dtype: object = jnp.float32   # fp32 = reference parity; bf16 = faster
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -129,7 +130,8 @@ def make_loss_fn(spec: TaskSpec):
 
         # frozen fp32 VAE encode (train_SigLIP_stage1.py:242-243)
         vae_in = normalize(imgs, VAE_MEAN, VAE_STD).astype(jnp.float32)
-        x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae)
+        x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae,
+                                  dtype=spec.vae_dtype)
         x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
 
         cond = image_conditioning(spec.tower_kind, params["clip"], imgs,

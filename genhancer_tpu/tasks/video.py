@@ -72,6 +72,7 @@ class VideoTaskSpec:
     remat: bool = False
     compute_dtype: object = jnp.bfloat16
     dit_param_dtype: object = jnp.bfloat16   # reference parity (bf16 DiT params)
+    vae_dtype: object = jnp.float32          # fp32 = reference parity; bf16 = faster
 
     @property
     def n_cond(self) -> int:
@@ -152,7 +153,8 @@ def make_loss_fn(spec: VideoTaskSpec):
         k_vae, k_t, k_noise = jax.random.split(key, 3)
 
         vae_in = normalize(target, VAE_MEAN, VAE_STD).astype(jnp.float32)
-        x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae)
+        x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae,
+                                  dtype=spec.vae_dtype)
         x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
 
         # one batched tower pass over all conditioning frames
