@@ -57,6 +57,18 @@ def _flash_fn():
     return flash_attention
 
 
+@functools.lru_cache(maxsize=1)
+def _fused_short_fn():
+    from .pallas.short_attention import fused_rope_attention
+    return fused_rope_attention
+
+
+# Short sequences use the one-program-per-batch fused RoPE+attention kernel
+# (measured: RoPE+attention cost 33 ms of an 89 ms flux-dev forward on the
+# XLA path at L=197 — layout copies + f32 logits round trips, not FLOPs).
+FUSED_MAX_SEQ = int(os.environ.get("GENHANCER_FUSED_ATTN_MAX_SEQ", "512"))
+
+
 # Below this sequence length the batched-einsum XLA path wins: per-program
 # Pallas grid overhead dominates tiny [L, L] tiles (measured on v5e: L=197
 # pallas 22 ms vs XLA 1.9 ms; L=2304 pallas ≈ XLA fwd but the flash backward
@@ -82,6 +94,13 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     q,k,v: [B, L, H, D]; cos/sin: [B, L, D/2].  Returns [B, L, H*D].
     """
+    if (_USE_PALLAS != "0" and q.shape[1] <= FUSED_MAX_SEQ
+            and q.shape[-1] % 2 == 0 and _pallas_available()):
+        try:
+            return _merge_heads(_fused_short_fn()(q, k, v, cos, sin))
+        except Exception:
+            if _USE_PALLAS == "1":
+                raise
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     return _merge_heads(sdpa(q, k, v))

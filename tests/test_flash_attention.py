@@ -47,3 +47,47 @@ def test_dispatch_threshold_uses_xla_for_short(rng, monkeypatch):
     q = jnp.ones((1, 8, 2, 4))
     out = A.sdpa(q, q, q)  # L=8 < threshold -> XLA path, no pallas call
     assert out.shape == q.shape
+
+
+class TestFusedRopeAttention:
+    """Short-sequence fused RoPE+attention kernel (one program per
+    (batch, head-block))."""
+
+    def _setup(self, rng, B=2, L=13, H=16, D=16):
+        from genhancer_tpu.core.rope import multi_axis_rope
+        q, k, v = (jnp.asarray(rng.standard_normal((B, L, H, D), dtype=np.float32))
+                   for _ in range(3))
+        ids = jnp.asarray(rng.integers(0, 20, (B, L, 3)).astype(np.float32))
+        cos, sin = multi_axis_rope(ids, (D // 2, D // 4, D // 4), 10_000)
+        return q, k, v, cos, sin
+
+    def _ref(self, q, k, v, cos, sin):
+        from genhancer_tpu.core.rope import apply_rope
+        return sdpa_xla(apply_rope(q, cos, sin), apply_rope(k, cos, sin), v)
+
+    def test_forward_matches_rope_plus_sdpa(self, rng):
+        from genhancer_tpu.core.pallas.short_attention import fused_rope_attention
+        q, k, v, cos, sin = self._setup(rng)
+        o = fused_rope_attention(q, k, v, cos, sin)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(self._ref(q, k, v, cos, sin)),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_grads_match(self, rng):
+        from genhancer_tpu.core.pallas.short_attention import fused_rope_attention
+        q, k, v, cos, sin = self._setup(rng, B=1, L=9, H=8, D=8)
+        g1 = jax.grad(lambda q, k, v: jnp.sum(
+            fused_rope_attention(q, k, v, cos, sin) ** 2), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda q, k, v: jnp.sum(
+            self._ref(q, k, v, cos, sin) ** 2), argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                       atol=1e-5, err_msg=f"d{name}")
+
+    def test_head_block_divides_and_respects_vmem(self):
+        from genhancer_tpu.core.pallas.short_attention import _head_block
+        assert _head_block(24, 197, 128) == 8       # flux-dev 224px image mode
+        assert 1 <= _head_block(24, 442, 128) <= 4  # 336px: smaller blocks
+        assert _head_block(4, 13, 16) == 4
+        assert _head_block(3, 9, 8) == 3
+        for h, l in [(24, 197), (24, 442), (16, 512)]:
+            assert h % _head_block(h, l, 128) == 0
