@@ -88,6 +88,24 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return sdpa_xla(q, k, v)
 
 
+def sdpa_auto(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Unmasked SDPA with the best backend for the shape: the fused Pallas
+    kernel (identity rope tables) for short sequences on TPU — used by the
+    tower encoders, whose small per-head matmuls run at ~33% MFU on the XLA
+    einsum path — else the standard dispatch."""
+    if (_USE_PALLAS != "0" and q.shape[1] <= FUSED_MAX_SEQ
+            and q.shape[-1] % 2 == 0 and _pallas_available()):
+        try:
+            b, l, _, d = q.shape
+            ones = jnp.ones((b, l, d // 2), jnp.float32)
+            zeros = jnp.zeros((b, l, d // 2), jnp.float32)
+            return _fused_short_fn()(q, k, v, ones, zeros)
+        except Exception:
+            if _USE_PALLAS == "1":
+                raise
+    return sdpa(q, k, v)
+
+
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               cos: jax.Array, sin: jax.Array) -> jax.Array:
     """RoPE + SDPA + head merge — the reference `attention` (src/flux/math.py:6-12).

@@ -66,6 +66,10 @@ def mha(p, x_q, x_kv, num_heads: int, mask: Optional[jax.Array] = None) -> jax.A
     q = nn.linear(p["q_proj"], x_q).reshape(b, lq, num_heads, d)
     k = nn.linear(p["k_proj"], x_kv).reshape(b, lk, num_heads, d)
     v = nn.linear(p["v_proj"], x_kv).reshape(b, lk, num_heads, d)
+    if mask is None and lq == lk:
+        from ...core.attention import sdpa_auto
+        out = sdpa_auto(q, k, v)
+        return nn.linear(p["out_proj"], out.reshape(b, lq, h))
     logits = jnp.einsum("blhd,bmhd->bhlm", q, k,
                         preferred_element_type=jnp.float32) * (d ** -0.5)
     if mask is not None:
