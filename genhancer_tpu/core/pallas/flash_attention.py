@@ -34,8 +34,7 @@ DEFAULT_BLOCK_Q = 256
 _INTERPRET = os.environ.get("GENHANCER_PALLAS_INTERPRET", "0") == "1"
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, block_q):
-    i = pl.program_id(2)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     q = q_ref[0, 0, :, :]                       # [BQ, D]
     k = k_ref[0, 0, :, :]                       # [L, D]
     v = v_ref[0, 0, :, :]
@@ -59,8 +58,7 @@ def _fwd(q, k, v, block_q):
     b, l, h, d = q.shape
     nq = pl.cdiv(l, block_q)
     scale = 1.0 / (d ** 0.5)
-    kernel = functools.partial(_fwd_kernel, scale=scale, seq_len=l,
-                               block_q=block_q)
+    kernel = functools.partial(_fwd_kernel, scale=scale)
     qt, kt, vt = _to_bhld(q), _to_bhld(k), _to_bhld(v)
     out = pl.pallas_call(
         kernel,

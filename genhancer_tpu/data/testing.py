@@ -11,7 +11,6 @@ from __future__ import annotations
 import io
 import os
 import tarfile
-from typing import Optional
 
 import numpy as np
 from PIL import Image

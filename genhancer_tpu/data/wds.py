@@ -23,7 +23,6 @@ on in-memory tars in tests.
 from __future__ import annotations
 
 import glob as globlib
-import io
 import os
 import re
 import tarfile

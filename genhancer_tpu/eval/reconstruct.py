@@ -12,8 +12,6 @@ The whole denoise loop (num_steps DiT forwards) compiles into one jit.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,14 +20,14 @@ TPU-native differences:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..core import nn
-from ..core.attention import attention, sdpa
+from ..core.attention import attention
 from ..core.rope import multi_axis_rope
 
 

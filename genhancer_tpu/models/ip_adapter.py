@@ -18,8 +18,6 @@ blocks per the reference) makes injection a no-op at initialization.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

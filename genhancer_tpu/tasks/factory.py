@@ -16,8 +16,7 @@ metaclip).  ``cli/train.py`` maps reference trainer-script names onto these
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,8 @@ all-reduce (replacing Accelerate/DDP/NCCL, SURVEY.md §5.8).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Callable, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

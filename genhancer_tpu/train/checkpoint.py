@@ -23,7 +23,7 @@ import json
 import os
 import re
 import shutil
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import numpy as np

@@ -12,7 +12,7 @@ the jit trace (pure Python dict work, zero runtime cost).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Iterable
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
