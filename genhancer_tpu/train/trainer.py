@@ -97,7 +97,14 @@ class Trainer:
          make_step, create_state, self.ckpt_kind) = factory.build_task(cfg)
 
         self.accum = int(cfg.get("gradient_accumulation_steps", 1))
-        self.max_steps = int(cfg.get("max_train_steps", 1000))
+        max_steps = cfg.get("max_train_steps")
+        if not max_steps:
+            # reference epoch math: ceil(3e6 / batch) / accum per epoch
+            # (train_SigLIP_stage1.py:158-161)
+            per_epoch = optim.effective_steps_per_epoch(
+                int(cfg.get_path("data_config.train_batch_size", 16)), self.accum)
+            max_steps = int(int(cfg.get("num_train_epochs", 1)) * per_epoch)
+        self.max_steps = int(max_steps)
         self.optimizer = optim.make_optimizer(cfg, total_steps=self.max_steps)
 
         key = jax.random.key(int(cfg.get("seed", 0)))
