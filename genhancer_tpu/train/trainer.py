@@ -136,6 +136,7 @@ class Trainer:
         else:
             self.step_fn = make_step(self.spec, self.optimizer)
 
+        self.log_interval = max(1, int(cfg.get("log_interval", 10)))
         self.writer = SummaryWriterProxy(
             os.path.join(self.output_dir, cfg.get("logging_dir", "logs")),
             enabled=self.is_main and cfg.get("report_to") == "tensorboard")
@@ -217,9 +218,13 @@ class Trainer:
 
             t0 = time.time()
             key = jax.random.fold_in(self.base_key, step)
+            sync = (step + 1) % self.log_interval == 0 or (step + 1) >= self.max_steps
             try:
                 self.state, metrics = self.step_fn(self.state, batch, key)
-                loss = float(metrics["loss"])  # blocks: gives true step time
+                # Sync only at log intervals: fetching the loss every step
+                # would drain the dispatch pipeline (costly over the remote
+                # runtime); between syncs steps run back-to-back on device.
+                loss = float(metrics["loss"]) if sync else None
             except RuntimeError as e:
                 # error triage parity (train_OpenAICLIP_video_stage1.py:531-540):
                 # communication/resource failures stop cleanly; logic errors raise
@@ -239,19 +244,21 @@ class Trainer:
                 jax.profiler.stop_trace()
 
             step += 1
-            metrics_out = {"loss": loss, "step": step,
-                           "grad_norm": float(metrics["grad_norm"]),
-                           "step_time": step_time,
-                           "data_load_time": data_load_time}
-            self.writer.scalar("train_loss", loss, step)
-            self.writer.scalar("step_time", step_time, step)
-            self.writer.scalar("data_load_time", data_load_time, step)
-            for k in ("avg_windows_per_video", "bs_eff"):
-                if k in extras:
-                    self.writer.scalar(k, float(extras[k]), step)
-            if step % 10 == 0 or step == 1:
+            if loss is not None:
+                metrics_out = {"loss": loss, "step": step,
+                               "grad_norm": float(metrics["grad_norm"]),
+                               "step_time": step_time,
+                               "data_load_time": data_load_time}
+                self.writer.scalar("train_loss", loss, step)
+                self.writer.scalar("step_time", step_time, step)
+                self.writer.scalar("data_load_time", data_load_time, step)
+                for k in ("avg_windows_per_video", "bs_eff"):
+                    if k in extras:
+                        self.writer.scalar(k, float(extras[k]), step)
                 log.info("step %d: loss=%.4f step_time=%.3fs data=%.3fs",
                          step, loss, step_time, data_load_time)
+            else:
+                metrics_out = {"step": step}
 
             if self._should_checkpoint(step):
                 self._checkpoint(step)
