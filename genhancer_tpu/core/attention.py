@@ -66,7 +66,10 @@ def _fused_short_fn():
 # Short sequences use the one-program-per-batch fused RoPE+attention kernel
 # (measured: RoPE+attention cost 33 ms of an 89 ms flux-dev forward on the
 # XLA path at L=197 — layout copies + f32 logits round trips, not FLOPs).
-FUSED_MAX_SEQ = int(os.environ.get("GENHANCER_FUSED_ATTN_MAX_SEQ", "512"))
+# 600 covers SigLIP-384 image mode (577 joint tokens; fused 2.98 ms vs XLA
+# 6.92 ms measured) while keeping the 729-token SigLIP tower grid on XLA
+# (h_blk would drop to 1 and the VMEM estimate is marginal there).
+FUSED_MAX_SEQ = int(os.environ.get("GENHANCER_FUSED_ATTN_MAX_SEQ", "600"))
 
 
 # Below this sequence length the batched-einsum XLA path wins: per-program
