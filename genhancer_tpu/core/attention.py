@@ -72,11 +72,11 @@ def _fused_short_fn():
 FUSED_MAX_SEQ = int(os.environ.get("GENHANCER_FUSED_ATTN_MAX_SEQ", "600"))
 
 
-# Below this sequence length the batched-einsum XLA path wins: per-program
-# Pallas grid overhead dominates tiny [L, L] tiles (measured on v5e: L=197
-# pallas 22 ms vs XLA 1.9 ms; L=2304 pallas ≈ XLA fwd but the flash backward
-# avoids materializing [B, H, L, L] softmax residuals).
-PALLAS_MIN_SEQ = int(os.environ.get("GENHANCER_PALLAS_MIN_SEQ", "1024"))
+# Above this length the head-batched flash kernel wins (measured on v5e:
+# L=729/D=64 flash 1.89 ms vs XLA 2.31 ms; L=2304/D=128 flash 3.79 ms vs XLA
+# 16.5 ms, and the flash backward avoids [B, H, L, L] softmax residuals);
+# at or below it the fused RoPE+attention kernel covers TPU dispatch.
+PALLAS_MIN_SEQ = int(os.environ.get("GENHANCER_PALLAS_MIN_SEQ", "600"))
 
 
 def sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:

@@ -35,21 +35,36 @@ _INTERPRET = os.environ.get("GENHANCER_PALLAS_INTERPRET", "0") == "1"
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[0, 0, :, :]                       # [BQ, D]
-    k = k_ref[0, 0, :, :]                       # [L, D]
-    v = v_ref[0, 0, :, :]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    q = q_ref[0]                                # [h_blk, BQ, D]
+    k = k_ref[0]                                # [h_blk, L, D]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
-    # mask q rows beyond seq_len is unnecessary (they are dropped on store);
-    # k positions are exact because K/V are unblocked.
+    # q rows beyond seq_len are dropped on store; k positions are exact
+    # because K/V are unblocked along L.
     p = jax.nn.softmax(s, axis=-1)
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _to_bhld(x):
     return x.transpose(0, 2, 1, 3)
+
+
+def _flash_head_block(h: int, l: int, d: int, block_q: int) -> int:
+    """Heads per program under a ~9 MB VMEM estimate (K/V + logits tiles)."""
+    budget = 9 * 1024 * 1024
+    best = 1
+    for cand in (8, 6, 4, 3, 2, 1):
+        if h % cand:
+            continue
+        est = (2 * 2 * cand * l * d * 2          # K/V, double-buffered, bf16
+               + 2 * 2 * cand * block_q * d * 2  # q/o blocks
+               + 2 * cand * block_q * l * 4)     # logits + probs f32
+        if est <= budget:
+            return cand
+    return best
 
 
 def _fwd(q, k, v, block_q):
@@ -60,15 +75,16 @@ def _fwd(q, k, v, block_q):
     scale = 1.0 / (d ** 0.5)
     kernel = functools.partial(_fwd_kernel, scale=scale)
     qt, kt, vt = _to_bhld(q), _to_bhld(k), _to_bhld(v)
+    hb = _flash_head_block(h, l, d, block_q)
     out = pl.pallas_call(
         kernel,
-        grid=(b, h, nq),
+        grid=(b, h // hb, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, hb, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, hb, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, hb, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_specs=pl.BlockSpec((1, hb, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         interpret=_INTERPRET,
     )(qt, kt, vt)
@@ -76,21 +92,21 @@ def _fwd(q, k, v, block_q):
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, *, scale):
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
-    o = o_ref[0, 0, :, :].astype(jnp.float32)
-    do = do_ref[0, 0, :, :].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    q = q_ref[0]                                # [h_blk, BQ, D]
+    k = k_ref[0]                                # [h_blk, L, D]
+    v = v_ref[0]
+    o = o_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
-    dp = jax.lax.dot_general(do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(do.astype(v.dtype), v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     d_i = jnp.sum(do * o, axis=-1, keepdims=True)
     ds = p * (dp - d_i)
-    dq = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+    dq = jax.lax.dot_general(ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
-    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dk_ref, dv_ref,
@@ -135,17 +151,18 @@ def _bwd(block_q, res, do):
     scale = 1.0 / (d ** 0.5)
     qt, kt, vt, ot, dot = (x.transpose(0, 2, 1, 3) for x in (q, k, v, o, do))
 
+    hb = _flash_head_block(h, l, d, block_q)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale),
-        grid=(b, h, nq),
+        grid=(b, h // hb, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, hb, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, hb, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, hb, l, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, hb, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, hb, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_specs=pl.BlockSpec((1, hb, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         interpret=_INTERPRET,
     )(qt, kt, vt, ot, dot)
