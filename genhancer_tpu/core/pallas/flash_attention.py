@@ -111,37 +111,38 @@ def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, *, scale):
 
 def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dk_ref, dv_ref,
                 dk_acc, dv_acc, *, scale, block_q, n_q_blocks):
-    """q/o/do arrive zero-padded to a block_q multiple: a zero-padded row has
-    do = 0, so dp = 0, d_i = 0 -> ds = 0 and dv-contribution p^T @ 0 = 0 —
-    padded rows contribute exactly nothing, no masking needed."""
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
+    """Head-batched: refs [1, h_blk, L(_pad), D].  q/o/do arrive zero-padded
+    to a block_q multiple: a zero-padded row has do = 0, so dp = 0, d_i = 0
+    -> ds = 0 and dv-contribution p^T @ 0 = 0 — padded rows contribute
+    exactly nothing, no masking needed."""
+    k = k_ref[0]                                # [hb, L, D]
+    v = v_ref[0]
     dk_acc[...] = jnp.zeros_like(dk_acc)
     dv_acc[...] = jnp.zeros_like(dv_acc)
 
     def body(qi, _):
         sl = pl.ds(qi * block_q, block_q)
-        q = q_ref[0, 0, sl, :]
-        o = o_ref[0, 0, sl, :].astype(jnp.float32)
-        do = do_ref[0, 0, sl, :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        q = q_ref[0, :, sl, :]                  # [hb, BQ, D]
+        o = o_ref[0, :, sl, :].astype(jnp.float32)
+        do = do_ref[0, :, sl, :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1)
-        dp = jax.lax.dot_general(do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        p = jax.nn.softmax(s, axis=-1)          # [hb, BQ, L]
+        dp = jax.lax.dot_general(do.astype(v.dtype), v, (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         d_i = jnp.sum(do * o, axis=-1, keepdims=True)
         ds = p * (dp - d_i)
         dk_acc[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
         dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         return ()
 
     jax.lax.fori_loop(0, n_q_blocks, body, ())
-    dk_ref[0, 0, :, :] = dk_acc[...].astype(dk_ref.dtype)
-    dv_ref[0, 0, :, :] = dv_acc[...].astype(dv_ref.dtype)
+    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _bwd(block_q, res, do):
@@ -175,18 +176,18 @@ def _bwd(block_q, res, do):
     else:
         q_p, o_p, do_p = qt, ot, dot
 
-    full_kv = pl.BlockSpec((1, 1, l, d), lambda bi, hi: (bi, hi, 0, 0))
-    full_q = pl.BlockSpec((1, 1, l_pad, d), lambda bi, hi: (bi, hi, 0, 0))
+    full_kv = pl.BlockSpec((1, hb, l, d), lambda bi, hi: (bi, hi, 0, 0))
+    full_q = pl.BlockSpec((1, hb, l_pad, d), lambda bi, hi: (bi, hi, 0, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, block_q=block_q,
                           n_q_blocks=nq),
-        grid=(b, h),
+        grid=(b, h // hb),
         in_specs=[full_q, full_kv, full_kv, full_q, full_q],
         out_specs=(full_kv, full_kv),
         out_shape=(jax.ShapeDtypeStruct(kt.shape, k.dtype),
                    jax.ShapeDtypeStruct(vt.shape, v.dtype)),
-        scratch_shapes=[pltpu.VMEM((l, d), jnp.float32),
-                        pltpu.VMEM((l, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hb, l, d), jnp.float32),
+                        pltpu.VMEM((hb, l, d), jnp.float32)],
         interpret=_INTERPRET,
     )(q_p, kt, vt, o_p, do_p)
     return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
