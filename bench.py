@@ -104,7 +104,8 @@ def main():
         stage="stage1", tower_kind="clip", img_size=img_size,
         clip_image_size=224, dit_cfg=dit_cfg, vae_cfg=vae_cfg,
         tower_cfg=tower_cfg, clip_dim=768, t5_dim=4096,
-        compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16)
+        compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16,
+        vae_dtype=jnp.bfloat16)   # trainer default (factory.build_task)
 
     cfg = Config(dict(TRAIN_DEFAULTS))
     optimizer = optim.make_optimizer(cfg)

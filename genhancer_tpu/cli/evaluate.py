@@ -46,5 +46,12 @@ def main(argv=None):
     return results
 
 
-if __name__ == "__main__":
+def cli() -> None:
+    """Console-script entry: main() returns a result dict for programmatic
+    callers/tests; returning it from the entry point would become the process
+    exit status (truthy dict -> exit 1), so the script wrapper discards it."""
     main()
+
+
+if __name__ == "__main__":
+    cli()

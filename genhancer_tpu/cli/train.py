@@ -53,5 +53,12 @@ def main(argv=None) -> dict:
     return metrics
 
 
-if __name__ == "__main__":
+def cli() -> None:
+    """Console-script entry: main() returns a result dict for programmatic
+    callers/tests; returning it from the entry point would become the process
+    exit status (truthy dict -> exit 1), so the script wrapper discards it."""
     main()
+
+
+if __name__ == "__main__":
+    cli()

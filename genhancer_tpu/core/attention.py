@@ -42,6 +42,29 @@ def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out.astype(q.dtype)
 
 
+def sdpa_xla_qchunk(q: jax.Array, k: jax.Array, v: jax.Array,
+                    max_logit_bytes: int = 2 << 30) -> jax.Array:
+    """Exact attention scanned over query chunks — the bounded-memory XLA
+    fallback for sequences beyond the flash kernel's VMEM design point.
+    Never materializes the full [B, H, L, L] logits tensor; peak extra memory
+    is one [B, H, chunk, L] f32 tile (<= max_logit_bytes)."""
+    b, l, h, d = q.shape
+    chunk = 128
+    while chunk * 2 <= l and b * h * (chunk * 2) * l * 4 <= max_logit_bytes:
+        chunk *= 2
+    pad = (-l) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else q
+    nc = qp.shape[1] // chunk
+    qs = jnp.moveaxis(qp.reshape(b, nc, chunk, h, d), 1, 0)  # [nc, B, c, H, D]
+
+    def body(_, qc):
+        return None, sdpa_xla(qc, k, v)
+
+    _, out = jax.lax.scan(body, None, qs)
+    out = jnp.moveaxis(out, 0, 1).reshape(b, nc * chunk, h, d)
+    return out[:, :l]
+
+
 def _pallas_available() -> bool:
     if _USE_PALLAS == "0":
         return False
@@ -63,6 +86,12 @@ def _fused_short_fn():
     return fused_rope_attention
 
 
+@functools.lru_cache(maxsize=1)
+def _fused_norope_fn():
+    from .pallas.short_attention import fused_attention
+    return fused_attention
+
+
 # Short sequences use the one-program-per-batch fused RoPE+attention kernel
 # (measured: RoPE+attention cost 33 ms of an 89 ms flux-dev forward on the
 # XLA path at L=197 — layout copies + f32 logits round trips, not FLOPs).
@@ -79,33 +108,42 @@ FUSED_MAX_SEQ = int(os.environ.get("GENHANCER_FUSED_ATTN_MAX_SEQ", "600"))
 PALLAS_MIN_SEQ = int(os.environ.get("GENHANCER_PALLAS_MIN_SEQ", "600"))
 
 
+def _flash_ok(q: jax.Array) -> bool:
+    """Static capability check (shape-based, decided at trace time) — replaces
+    the former try/except dispatch, which could mask genuine compile failures
+    as a silent (and catastrophically slower) XLA fallback."""
+    from .pallas.flash_attention import flash_supported
+    b, l, h, d = q.shape
+    return flash_supported(l, h, d)
+
+
 def sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """[B, L, H, D] -> [B, L, H, D]."""
     if (_USE_PALLAS != "0" and q.shape[1] >= PALLAS_MIN_SEQ
             and _pallas_available()):
-        try:
+        if _flash_ok(q):
             return _flash_fn()(q, k, v)
-        except Exception:
-            if _USE_PALLAS == "1":
-                raise
+        if _USE_PALLAS == "1":
+            raise ValueError(
+                f"flash kernel VMEM design point exceeded at L={q.shape[1]}, "
+                f"D={q.shape[-1]} (GENHANCER_PALLAS_ATTN=1 forbids fallback)")
+        # beyond the kernel's design point: bounded-memory exact fallback
+        return sdpa_xla_qchunk(q, k, v)
     return sdpa_xla(q, k, v)
 
 
+def _fused_short_ok(q: jax.Array) -> bool:
+    return (_USE_PALLAS != "0" and q.shape[1] <= FUSED_MAX_SEQ
+            and q.shape[-1] % 2 == 0 and _pallas_available())
+
+
 def sdpa_auto(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Unmasked SDPA with the best backend for the shape: the fused Pallas
-    kernel (identity rope tables) for short sequences on TPU — used by the
-    tower encoders, whose small per-head matmuls run at ~33% MFU on the XLA
-    einsum path — else the standard dispatch."""
-    if (_USE_PALLAS != "0" and q.shape[1] <= FUSED_MAX_SEQ
-            and q.shape[-1] % 2 == 0 and _pallas_available()):
-        try:
-            b, l, _, d = q.shape
-            ones = jnp.ones((b, l, d // 2), jnp.float32)
-            zeros = jnp.zeros((b, l, d // 2), jnp.float32)
-            return _fused_short_fn()(q, k, v, ones, zeros)
-        except Exception:
-            if _USE_PALLAS == "1":
-                raise
+    """Unmasked SDPA with the best backend for the shape: the no-rope fused
+    Pallas kernel for short sequences on TPU — used by the tower encoders,
+    whose small per-head matmuls run at ~33% MFU on the XLA einsum path —
+    else the standard dispatch."""
+    if _fused_short_ok(q):
+        return _fused_norope_fn()(q, k, v)
     return sdpa(q, k, v)
 
 
@@ -115,13 +153,8 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     q,k,v: [B, L, H, D]; cos/sin: [B, L, D/2].  Returns [B, L, H*D].
     """
-    if (_USE_PALLAS != "0" and q.shape[1] <= FUSED_MAX_SEQ
-            and q.shape[-1] % 2 == 0 and _pallas_available()):
-        try:
-            return _merge_heads(_fused_short_fn()(q, k, v, cos, sin))
-        except Exception:
-            if _USE_PALLAS == "1":
-                raise
+    if _fused_short_ok(q):
+        return _merge_heads(_fused_short_fn()(q, k, v, cos, sin))
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     return _merge_heads(sdpa(q, k, v))

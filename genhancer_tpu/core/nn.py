@@ -15,13 +15,51 @@ float32 (matching the reference RMSNorm/LayerNorm fp32-compute behavior,
 
 from __future__ import annotations
 
+import contextlib
 import math
+import threading
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 
 Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# LoRA dropout context (peft parity: nn.Dropout(p) on the A-branch input,
+# reference stage-2 configs set lora_dropout: 0.1 —
+# /root/reference/Continuous/train_SigLIP_stage2_all.py:134-143).
+#
+# The context is consulted at *trace* time by ``linear``: each LoRA-wrapped
+# call folds a fresh per-call counter into the step key, so masks are
+# decorrelated across layers but fully deterministic given the step RNG.
+# Outside the context (eval, merge, stage-1) the branch is a no-op.
+# ---------------------------------------------------------------------------
+
+_LORA_DROPOUT_CTX = threading.local()
+
+
+@contextlib.contextmanager
+def lora_dropout_ctx(key: jax.Array, rate: float):
+    """Enable LoRA dropout for all ``linear`` calls traced inside the block."""
+    prev = getattr(_LORA_DROPOUT_CTX, "state", None)
+    _LORA_DROPOUT_CTX.state = {"key": key, "rate": float(rate), "calls": 0}
+    try:
+        yield
+    finally:
+        _LORA_DROPOUT_CTX.state = prev
+
+
+def _lora_dropout(x: jax.Array) -> jax.Array:
+    ctx = getattr(_LORA_DROPOUT_CTX, "state", None)
+    if ctx is None or ctx["rate"] <= 0.0:
+        return x
+    ctx["calls"] += 1
+    k = jax.random.fold_in(ctx["key"], ctx["calls"])
+    keep_p = 1.0 - ctx["rate"]
+    keep = jax.random.bernoulli(k, keep_p, x.shape)
+    return jnp.where(keep, x / jnp.asarray(keep_p, x.dtype), jnp.zeros((), x.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -47,15 +85,23 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
 
     If the node carries LoRA factors ("lora_A" [r, in], "lora_B" [out, r],
     "lora_scale" = alpha/r), the low-rank branch is added in parallel —
-    peft-equivalent y = Wx + s·B(Ax) (see train.lora).
+    peft-equivalent y = Wx + s·B(Ax) (see train.lora).  Nodes quantized by
+    core.quant (``weight_q``) run the base matmul on the int8 MXU path; the
+    LoRA branch (if any) stays in the activation dtype — QLoRA-style
+    composition for a frozen int8 base.
     """
-    w = p["weight"].astype(x.dtype)
-    y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
-                            preferred_element_type=x.dtype)
+    if "weight_q" in p:
+        from .quant import linear_int8_base
+        y = linear_int8_base(p, x)
+    else:
+        w = p["weight"].astype(x.dtype)
+        y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
+                                preferred_element_type=x.dtype)
     if "lora_A" in p:
         a = p["lora_A"].astype(x.dtype)
         b = p["lora_B"].astype(x.dtype)
-        down = jax.lax.dot_general(x, a, (((x.ndim - 1,), (1,)), ((), ())))
+        xd = _lora_dropout(x)
+        down = jax.lax.dot_general(xd, a, (((x.ndim - 1,), (1,)), ((), ())))
         up = jax.lax.dot_general(down, b, (((x.ndim - 1,), (1,)), ((), ())))
         y = y + up * p["lora_scale"].astype(x.dtype)
     if "bias" in p:
@@ -70,14 +116,22 @@ def layernorm_init(dim: int, affine: bool = True, dtype=jnp.float32) -> Params:
 
 
 def layernorm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """LayerNorm with float32 statistics; affine iff params present."""
+    """LayerNorm with float32 statistics; affine iff params present.
+
+    Only the *reductions* run in f32; the normalization applies in the input
+    dtype.  Keeping the full f32 intermediate costs a separate full-tensor
+    fusion on TPU (measured: the DiT's qk-RMSNorms alone were 14.4 ms of a
+    75 ms forward before this restructure); the bf16-path difference is one
+    extra rounding.  fp32 inputs (towers at eval) are bit-identical.
+    """
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mu.astype(x.dtype)) * inv.astype(x.dtype)
     if "weight" in p:
-        y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    return y
 
 
 def rmsnorm_init(dim: int, dtype=jnp.float32) -> Params:
@@ -86,10 +140,12 @@ def rmsnorm_init(dim: int, dtype=jnp.float32) -> Params:
 
 
 def rmsnorm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """RMSNorm, fp32 compute, scale applied after cast back (layers.py:68-72)."""
-    xf = x.astype(jnp.float32)
-    rrms = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
-    return (xf * rrms).astype(x.dtype) * p["scale"].astype(x.dtype)
+    """RMSNorm: f32 statistics, normalization in the input dtype
+    (layers.py:68-72 semantics; see layernorm for why the full-f32
+    intermediate form is avoided — it cost 14.4 ms/step in the DiT)."""
+    ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(ms + eps).astype(x.dtype)
+    return (x * inv) * p["scale"].astype(x.dtype)
 
 
 def groupnorm_init(channels: int, dtype=jnp.float32) -> Params:
@@ -126,7 +182,11 @@ def conv2d_init(key: jax.Array, in_ch: int, out_ch: int, kernel: int,
 
 def conv2d(p: Params, x: jax.Array, stride: int = 1,
            padding="SAME") -> jax.Array:
-    """NHWC conv; `padding` is an XLA padding spec or explicit list."""
+    """NHWC conv; `padding` is an XLA padding spec or explicit list.
+    int8-quantized nodes (core.quant) dispatch to the int8 MXU path."""
+    if "weight_q" in p:
+        from .quant import conv2d_int8
+        return conv2d_int8(p, x, stride=stride, padding=padding)
     w = p["weight"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,

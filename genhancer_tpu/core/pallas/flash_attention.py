@@ -52,17 +52,48 @@ def _to_bhld(x):
     return x.transpose(0, 2, 1, 3)
 
 
+# Pipelining budget for picking the head-block (leaves room for double
+# buffering); the hard ceiling for "does this shape fit at all" is the
+# physical ~16 MB/core VMEM minus margin.
+_VMEM_BUDGET = 9 * 1024 * 1024
+_VMEM_CEILING = 14 * 1024 * 1024
+
+
+def _fwd_estimate(hb: int, l: int, d: int, block_q: int) -> int:
+    return (2 * 2 * hb * l * d * 2          # K/V, double-buffered, bf16
+            + 2 * 2 * hb * block_q * d * 2  # q/o blocks
+            + 2 * hb * block_q * l * 4)     # logits + probs f32
+
+
+def _dkv_estimate(hb: int, l: int, d: int, block_q: int) -> int:
+    l_pad = pl.cdiv(l, block_q) * block_q
+    return (2 * 3 * hb * l_pad * d * 2      # q/o/do resident, double-buffered
+            + 2 * 2 * hb * l * d * 2        # k/v
+            + 2 * hb * l * d * 4            # f32 accumulator scratch
+            + 2 * hb * block_q * l * 4)     # p/ds tiles
+
+
+def flash_supported(l: int, h: int, d: int,
+                    block_q: int = DEFAULT_BLOCK_Q) -> bool:
+    """Whether the kernels' VMEM residency fits at this shape (even with
+    head-block 1).  The binding constraint is the dk/dv kernel, which keeps
+    full-length q/o/do + k/v + f32 accumulators resident — it fits to roughly
+    L ~ 2.5k at D=128 (the GenHancer design point is <= ~2.4k joint tokens,
+    SURVEY.md §5.7; L=2304 measured OK on v5e).  Beyond it callers must use a
+    blocked fallback (core.attention.sdpa_xla_qchunk)."""
+    return (_fwd_estimate(1, l, d, block_q) <= _VMEM_CEILING
+            and _dkv_estimate(1, l, d, block_q) <= _VMEM_CEILING)
+
+
 def _flash_head_block(h: int, l: int, d: int, block_q: int) -> int:
-    """Heads per program under a ~9 MB VMEM estimate (K/V + logits tiles)."""
-    budget = 9 * 1024 * 1024
+    """Heads per program under the pipelining VMEM estimate (fwd/dq tiles;
+    the dkv kernel shares the choice and its fit is guarded by
+    ``flash_supported``)."""
     best = 1
     for cand in (8, 6, 4, 3, 2, 1):
         if h % cand:
             continue
-        est = (2 * 2 * cand * l * d * 2          # K/V, double-buffered, bf16
-               + 2 * 2 * cand * block_q * d * 2  # q/o blocks
-               + 2 * cand * block_q * l * 4)     # logits + probs f32
-        if est <= budget:
+        if _fwd_estimate(cand, l, d, block_q) <= _VMEM_BUDGET:
             return cand
     return best
 

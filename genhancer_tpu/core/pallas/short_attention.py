@@ -61,14 +61,7 @@ def _apply_rope_full(x, cos_full, sin_full):
     return out.astype(x.dtype)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale):
-    q = q_ref[0]            # [H, L, D]
-    k = k_ref[0]
-    v = v_ref[0]
-    cos = cos_ref[0]        # [L, D]
-    sin = sin_ref[0]
-    rq = _apply_rope_full(q, cos, sin)
-    rk = _apply_rope_full(k, cos, sin)
+def _attn_body(rq, rk, v, o_ref, scale):
     # head-batched logits [H, L, L], f32
     s = jax.lax.dot_general(rq, rk, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
@@ -78,17 +71,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, cos_ref, sin_ref,
-                dq_ref, dk_ref, dv_ref, *, scale):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+def _fwd_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale):
+    cos = cos_ref[0]        # [L, D]
+    sin = sin_ref[0]
+    rq = _apply_rope_full(q_ref[0], cos, sin)
+    rk = _apply_rope_full(k_ref[0], cos, sin)
+    _attn_body(rq, rk, v_ref[0], o_ref, scale)
+
+
+def _fwd_kernel_norope(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Tower variant: no rotation — skips two full VPU passes + f32 rope
+    temps per q/k tile (sdpa_auto used to pass identity tables instead)."""
+    _attn_body(q_ref[0], k_ref[0], v_ref[0], o_ref, scale)
+
+
+def _bwd_body(rq, rk, v, o_ref, do_ref, scale):
+    """Shared backward math on (already-rotated) q/k; returns d_rq, d_rk, dv."""
     o = o_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    cos = cos_ref[0]
-    sin = sin_ref[0]
-    rq = _apply_rope_full(q, cos, sin)
-    rk = _apply_rope_full(k, cos, sin)
     s = jax.lax.dot_general(rq, rk, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
@@ -96,7 +96,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, cos_ref, sin_ref,
     dp = jax.lax.dot_general(dob, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     d_i = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = (p * (dp - d_i)).astype(q.dtype)
+    ds = (p * (dp - d_i)).astype(rq.dtype)
     d_rq = jax.lax.dot_general(ds, rk, (((2,), (1,)), ((0,), (0,))),
                                preferred_element_type=jnp.float32) * scale
     d_rk = jax.lax.dot_general(ds, rq, (((1,), (1,)), ((0,), (0,))),
@@ -104,9 +104,28 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, cos_ref, sin_ref,
     dv = jax.lax.dot_general(p.astype(dob.dtype), dob,
                              (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
+    return d_rq, d_rk, dv
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, cos_ref, sin_ref,
+                dq_ref, dk_ref, dv_ref, *, scale):
+    cos = cos_ref[0]
+    sin = sin_ref[0]
+    rq = _apply_rope_full(q_ref[0], cos, sin)
+    rk = _apply_rope_full(k_ref[0], cos, sin)
+    d_rq, d_rk, dv = _bwd_body(rq, rk, v_ref[0], o_ref, do_ref, scale)
     # inverse rotation: same tables with negated sin
-    dq_ref[0] = _apply_rope_full(d_rq.astype(q.dtype), cos, -sin)
-    dk_ref[0] = _apply_rope_full(d_rk.astype(k.dtype), cos, -sin)
+    dq_ref[0] = _apply_rope_full(d_rq.astype(q_ref.dtype), cos, -sin)
+    dk_ref[0] = _apply_rope_full(d_rk.astype(k_ref.dtype), cos, -sin)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_kernel_norope(q_ref, k_ref, v_ref, o_ref, do_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale):
+    d_rq, d_rk, dv = _bwd_body(q_ref[0], k_ref[0], v_ref[0], o_ref, do_ref,
+                               scale)
+    dq_ref[0] = d_rq.astype(dq_ref.dtype)
+    dk_ref[0] = d_rk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
@@ -140,20 +159,26 @@ def _specs(b, l, h, d, h_blk):
     return spec_x, spec_t
 
 
-def _run_fwd(q, k, v, cos_full, sin_full):
+def _run_fwd(q, k, v, cos_full=None, sin_full=None):
     b, l, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
     h_blk = _head_block(h, l, d)
     qt, kt, vt = _to_bhld(q), _to_bhld(k), _to_bhld(v)
     spec_x, spec_t = _specs(b, l, h, d, h_blk)
+    if cos_full is None:
+        kernel = functools.partial(_fwd_kernel_norope, scale=scale)
+        ins, in_specs = (qt, kt, vt), [spec_x] * 3
+    else:
+        kernel = functools.partial(_fwd_kernel, scale=scale)
+        ins, in_specs = (qt, kt, vt, cos_full, sin_full), [spec_x] * 3 + [spec_t] * 2
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        kernel,
         grid=(b, h // h_blk),
-        in_specs=[spec_x, spec_x, spec_x, spec_t, spec_t],
+        in_specs=in_specs,
         out_specs=spec_x,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         interpret=_INTERPRET,
-    )(qt, kt, vt, cos_full, sin_full)
+    )(*ins)
     return _to_bhld(out)
 
 
@@ -174,24 +199,60 @@ def _vjp_fwd(q, k, v, cos, sin):
     return o, (q, k, v, o, cos_full, sin_full)
 
 
-def _vjp_bwd(res, do):
-    q, k, v, o, cos_full, sin_full = res
+def _run_bwd(q, k, v, o, do, cos_full=None, sin_full=None):
     b, l, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
     qt, kt, vt, ot, dot = (x.transpose(0, 2, 1, 3) for x in (q, k, v, o, do))
     h_blk = _head_block(h, l, d)
     spec_x, spec_t = _specs(b, l, h, d, h_blk)
+    if cos_full is None:
+        kernel = functools.partial(_bwd_kernel_norope, scale=scale)
+        ins, in_specs = (qt, kt, vt, ot, dot), [spec_x] * 5
+    else:
+        kernel = functools.partial(_bwd_kernel, scale=scale)
+        ins = (qt, kt, vt, ot, dot, cos_full, sin_full)
+        in_specs = [spec_x] * 5 + [spec_t] * 2
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
+        kernel,
         grid=(b, h // h_blk),
-        in_specs=[spec_x] * 5 + [spec_t, spec_t],
+        in_specs=in_specs,
         out_specs=(spec_x, spec_x, spec_x),
         out_shape=(jax.ShapeDtypeStruct(qt.shape, q.dtype),
                    jax.ShapeDtypeStruct(kt.shape, k.dtype),
                    jax.ShapeDtypeStruct(vt.shape, v.dtype)),
         interpret=_INTERPRET,
-    )(qt, kt, vt, ot, dot, cos_full, sin_full)
-    return (_to_bhld(dq), _to_bhld(dk), _to_bhld(dv), None, None)
+    )(*ins)
+    return _to_bhld(dq), _to_bhld(dk), _to_bhld(dv)
+
+
+def _vjp_bwd(res, do):
+    q, k, v, o, cos_full, sin_full = res
+    dq, dk, dv = _run_bwd(q, k, v, o, do, cos_full, sin_full)
+    return (dq, dk, dv, None, None)
 
 
 fused_rope_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# no-rope variant (tower encoders): same kernels minus the rotation work
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def fused_attention(q, k, v):
+    """Exact softmax attention, head-batched, one program per (batch,
+    head-block) — the tower-encoder path (no RoPE).  q,k,v: [B, L, H, D]."""
+    return _run_fwd(q, k, v)
+
+
+def _vjp_fwd_norope(q, k, v):
+    o = _run_fwd(q, k, v)
+    return o, (q, k, v, o)
+
+
+def _vjp_bwd_norope(res, do):
+    q, k, v, o = res
+    return _run_bwd(q, k, v, o, do)
+
+
+fused_attention.defvjp(_vjp_fwd_norope, _vjp_bwd_norope)

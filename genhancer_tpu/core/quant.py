@@ -1,0 +1,160 @@
+"""Int8 quantization for FROZEN compute paths (stage-1 tower + VAE encoder).
+
+Why: the v5e MXU runs int8 at 2x bf16 throughput (394 vs 197 TOPS), and
+BASELINE.md's ceiling analysis shows the bf16 step floor sits below the 2x
+target — the frozen conditioning paths are the safe place to spend int8:
+in stage 1 the projectors and DiT *train against* whatever the frozen tower
+emits, so a slightly-quantized tower is just a slightly different frozen
+teacher (and the VAE latent is noised by the flow objective immediately).
+
+Scheme (weight-static, activation-dynamic — no calibration data needed):
+  * weights: symmetric per-output-channel int8,
+    ``w_q = round(clip(w / s_w))``, ``s_w[o] = max|w[o, :]| / 127``,
+    quantized ONCE at state creation (halves weight HBM reads too);
+  * activations: symmetric dynamic quantization — per-token (last-dim row)
+    for linears, per-tensor for convs;
+  * accumulation in int32 on the MXU, dequantized as ``(s_x ⊗ s_w)``.
+
+Application is param-tree surgery: ``quantize_linear_tree`` /
+``quantize_conv_tree`` replace ``weight`` with ``weight_q``+``w_scale`` on
+eligible nodes; ``core.nn.linear`` / ``core.nn.conv2d`` dispatch on the node
+shape.  Trainable (LoRA-wrapped) nodes and embedding tables are never
+touched; stage-2 runs the tower in bf16 (it is inside autodiff there).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jax.Array, axis: int = 1):
+    """[out, in] (or HWIO conv with axis=-1 as out) -> (int8, f32 scales)."""
+    reduce_axes = tuple(i for i in range(w.ndim) if i != (axis % w.ndim))
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes,
+                   keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def quantize_activation_rows(x: jax.Array):
+    """Per-row (last dim) symmetric dynamic quant: (int8, f32 [..., 1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_activation_tensor(x: jax.Array):
+    """Per-tensor symmetric dynamic quant (convs)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+@jax.custom_vjp
+def _int8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array) -> jax.Array:
+    """Forward on the int8 MXU; backward is the straight-through estimator
+    d x = g @ dequant(w) (an ordinary bf16 matmul) — ``round`` has zero
+    gradient a.e., so without this, gradients flowing *through* a quantized
+    layer (stage-2 QLoRA stacks, int8 DiT forward) would vanish."""
+    xq, sx = quantize_activation_rows(x)
+    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * ws[:, 0]
+    return y.astype(x.dtype)
+
+
+def _int8_matmul_fwd(x, wq, ws):
+    return _int8_matmul(x, wq, ws), (wq, ws)
+
+
+def _int8_matmul_bwd(res, g):
+    import numpy as np
+    wq, ws = res
+    w = (wq.astype(jnp.float32) * ws).astype(g.dtype)          # [out, in]
+    # g.dtype == x.dtype (forward casts the output to x.dtype)
+    dx = jax.lax.dot_general(g, w, (((g.ndim - 1,), (0,)), ((), ())),
+                             preferred_element_type=g.dtype)
+    return (dx,
+            np.zeros(wq.shape, jax.dtypes.float0),             # int8 primal
+            jnp.zeros_like(ws))
+
+_int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+def linear_int8_base(p, x: jax.Array) -> jax.Array:
+    """Base matmul only (no bias/LoRA — core.nn.linear adds those):
+    y = dequant(x_q @ w_q^T); node: {weight_q [o,i], w_scale [o,1], ...}."""
+    return _int8_matmul(x, p["weight_q"], p["w_scale"])
+
+
+def conv2d_int8(p, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Array:
+    """NHWC conv with int8 MXU accumulation; node: {weight_q HWIO, w_scale
+    [1,1,1,O], bias?}.  Zero-padding is exact for symmetric quant (q(0)=0)."""
+    xq, sx = quantize_activation_tensor(x)
+    acc = jax.lax.conv_general_dilated(
+        xq, p["weight_q"], window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * p["w_scale"][0, 0, 0])
+    y = y.astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _eligible_linear(path: str, node: dict) -> bool:
+    w = node.get("weight")
+    if w is None or getattr(w, "ndim", 0) != 2 or "lora_A" in node:
+        return False
+    return not any(s in path for s in ("embedding", "embeddings", "logit_scale",
+                                       "position_embedding"))
+
+
+def quantize_linear_tree(params, min_features: int = 64):
+    """Replace every eligible linear's weight with int8 factors (returns a
+    new tree).  ``min_features`` skips tiny layers where quant noise isn't
+    worth it."""
+    def rec(node, path=""):
+        if isinstance(node, dict):
+            out = dict(node)
+            if _eligible_linear(path, node) and min(node["weight"].shape) >= min_features:
+                q, s = quantize_weight(out.pop("weight"), axis=0)
+                out["weight_q"], out["w_scale"] = q, s
+            for k, v in list(out.items()):
+                if k in ("weight", "weight_q", "w_scale", "bias"):
+                    continue
+                out[k] = rec(v, f"{path}.{k}" if path else k)
+            return out
+        if isinstance(node, (list, tuple)):
+            return [rec(v, f"{path}.{i}" if path else str(i))
+                    for i, v in enumerate(node)]
+        return node
+
+    return rec(params)
+
+
+def quantize_conv_tree(params, min_channels: int = 32):
+    """Replace eligible conv weights (4-D HWIO) with int8 factors."""
+    def rec(node, path=""):
+        if isinstance(node, dict):
+            out = dict(node)
+            w = node.get("weight")
+            if (w is not None and getattr(w, "ndim", 0) == 4
+                    and w.shape[2] >= min_channels and w.shape[3] >= min_channels):
+                q, s = quantize_weight(out.pop("weight"), axis=3)
+                out["weight_q"], out["w_scale"] = q, s
+            for k, v in list(out.items()):
+                if k in ("weight", "weight_q", "w_scale", "bias"):
+                    continue
+                out[k] = rec(v, f"{path}.{k}" if path else k)
+            return out
+        if isinstance(node, (list, tuple)):
+            return [rec(v, f"{path}.{i}" if path else str(i))
+                    for i, v in enumerate(node)]
+        return node
+
+    return rec(params)

@@ -58,12 +58,17 @@ def random_resized_crop(img: Image.Image, size: int, rng: np.random.Generator,
 
 
 def resize_center_crop(img: Image.Image, size: int) -> Image.Image:
-    """Resize shorter side to `size` (bicubic) then center crop size x size."""
+    """Resize shorter side to `size` (bicubic) then center crop size x size.
+
+    The long side TRUNCATES (``int(size * long / short)``) — both torchvision
+    ``Resize`` and the HF image processors do; rounding up instead shifts
+    every downstream pixel (caught by tests/test_eval_preprocess.py goldens).
+    """
     w, h = img.size
     if w <= h:
-        nw, nh = size, max(size, int(round(h * size / w)))
+        nw, nh = size, max(size, int(h * size / w))
     else:
-        nw, nh = max(size, int(round(w * size / h))), size
+        nw, nh = max(size, int(w * size / h)), size
     img = img.resize((nw, nh), Image.BICUBIC)
     x0 = (nw - size) // 2
     y0 = (nh - size) // 2

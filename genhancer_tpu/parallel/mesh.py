@@ -29,8 +29,21 @@ MODEL_AXIS = "model"
 
 
 def maybe_initialize_distributed() -> None:
-    """jax.distributed.initialize when launched multi-host (JAX_COORDINATOR set)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    """jax.distributed.initialize when launched multi-host.
+
+    Explicit env contract (set by the launcher, replacing the reference's
+    NCCL/torch-distributed env tuning — SURVEY.md §5.8): either the standard
+    auto-detected cluster envs, or GENHANCER_COORDINATOR / GENHANCER_NUM_PROCS
+    / GENHANCER_PROC_ID for manual launches."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    coord = os.environ.get("GENHANCER_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["GENHANCER_NUM_PROCS"]),
+            process_id=int(os.environ["GENHANCER_PROC_ID"]))
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
 
 
@@ -56,11 +69,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: int = 0):
-    """Place a host numpy batch onto the mesh, sharded over the data axis at
-    ``axis`` (axis 1 for accumulation-stacked [accum, B, ...] batches).  The
-    sharded dim must divide the data-axis size."""
+    """Place a host batch onto the mesh, sharded over the data axis at
+    ``axis`` (axis 1 for accumulation-stacked [accum, B, ...] batches).
+
+    Multi-host: each process passes its *process-local* rows (its loader
+    reads a disjoint shard split — the webdataset ``split_by_node``
+    equivalent) and the rows are assembled into one global array via
+    ``jax.make_array_from_process_local_data`` — no cross-host copy; each
+    host's rows land on its own devices.  Single-host this reduces to a
+    sharded device_put.  The local batch dim must divide the host's local
+    share of the data axis."""
     spec = P(*([None] * axis + [DATA_AXIS]))
     sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
@@ -79,6 +103,23 @@ def host_local_batch_slice(global_batch: int) -> slice:
     per_host = global_batch // jax.process_count()
     start = jax.process_index() * per_host
     return slice(start, start + per_host)
+
+
+def pad_batch_to_devices(arrays: dict, n_devices: int) -> dict:
+    """Pad every array leaf's batch dim to a multiple of the data-axis size,
+    maintaining a boolean ``valid`` mask (existing masks are padded with
+    False).  Used by the trainer instead of shrinking the mesh when
+    train_batch_size % devices != 0 (masked loss handles the pad rows)."""
+    bs = next(v.shape[0] for v in arrays.values())
+    if bs % n_devices == 0:
+        return arrays
+    out = {}
+    mask = None
+    for k, v in arrays.items():
+        out[k], mask = pad_to_multiple(np.asarray(v), n_devices)
+    if "valid" not in out:       # np.pad fills an existing bool mask with False
+        out["valid"] = mask
+    return out
 
 
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):

@@ -59,7 +59,8 @@ def _lora_kwargs(cfg, tower: str) -> dict:
                else lora_m.SIGLIP_TARGETS)
     return dict(lora_r=int(lc.get("r", 16)),
                 lora_alpha=float(lc.get("lora_alpha", 16)),
-                lora_targets=lc.get("target_modules", targets))
+                lora_targets=lc.get("target_modules", targets),
+                lora_dropout=float(lc.get("lora_dropout", 0.0)))
 
 
 def build_task(cfg, key: Optional[jax.Array] = None):
@@ -98,8 +99,21 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   remat=bool(cfg.get("remat") or False),
                   compute_dtype=compute_dtype,
                   dit_param_dtype=compute_dtype,
-                  vae_dtype=(jnp.bfloat16 if cfg.get("vae_dtype") == "bf16"
-                             else jnp.float32))
+                  # Default bf16 for the frozen VAE encode (documented
+                  # deviation: the reference runs it fp32,
+                  # train_SigLIP_stage1.py:243).  Measured on v5e at 224px:
+                  # latent drift max 0.024 / mean 0.002 against fp32 with
+                  # latent std 0.445 (~0.5%), and the objective immediately
+                  # noises the latent.  `vae_dtype: fp32` restores parity.
+                  vae_dtype=(jnp.float32 if cfg.get("vae_dtype") == "fp32"
+                             else jnp.bfloat16),
+                  # int8 is stage-1-only for the tower: stage-2 trains and
+                  # exports the tower, and the HF export path needs the
+                  # original bf16 base weights
+                  tower_quant=(cfg.get("tower_quant", "none")
+                               if str(cfg.get("task", "")).endswith("stage1")
+                               else "none"),
+                  vae_quant=cfg.get("vae_quant", "none"))
 
     data_kwargs = dict(dc)
     data_kwargs.pop("img_size", None)

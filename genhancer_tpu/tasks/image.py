@@ -49,12 +49,18 @@ class TaskSpec:
     lora_alpha: float = 16.0
     lora_targets: object = "all-linear"
     lora_bias: str = "lora_only"
+    lora_dropout: float = 0.0          # reference stage-2 configs: 0.1
     remat: bool = False
     compute_dtype: object = jnp.bfloat16
     # Reference stores DiT params in bf16 (train_SigLIP_stage1.py:132) and
     # runs AdamW directly on them; bf16 halves HBM for params+moments+grads.
     dit_param_dtype: object = jnp.bfloat16
     vae_dtype: object = jnp.float32   # fp32 = reference parity; bf16 = faster
+    # int8 (core.quant) for the FROZEN compute: v5e runs int8 at 2x bf16.
+    # tower_quant applies in stage 1 (frozen teacher) and as a QLoRA-style
+    # frozen base in stage 2; vae_quant quantizes the encoder convs.
+    tower_quant: str = "none"         # "none" | "int8"
+    vae_quant: str = "none"           # "none" | "int8"
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -96,6 +102,15 @@ def init_modules(key: jax.Array, spec: TaskSpec,
         modules["clip"]["model"], _ = lora_m.inject(
             modules["clip"]["model"], jax.random.fold_in(key, 99),
             r=spec.lora_r, alpha=spec.lora_alpha, targets=spec.lora_targets)
+    if spec.tower_quant == "int8":
+        from ..core import quant
+        modules["clip"]["model"] = quant.quantize_linear_tree(
+            modules["clip"]["model"])
+    if spec.vae_quant == "int8":
+        from ..core import quant
+        modules["vae"] = dict(
+            modules["vae"],
+            encoder=quant.quantize_conv_tree(modules["vae"]["encoder"]))
     return modules
 
 
@@ -126,7 +141,7 @@ def make_loss_fn(spec: TaskSpec):
     def loss_fn(trainable, frozen, batch, key):
         params = unflatten_params({**frozen, **trainable})
         imgs = batch["image"]                       # [B, H, W, 3] in [0, 1]
-        k_vae, k_t, k_noise = jax.random.split(key, 3)
+        k_vae, k_t, k_noise, k_drop = jax.random.split(key, 4)
 
         # frozen fp32 VAE encode (train_SigLIP_stage1.py:242-243)
         vae_in = normalize(imgs, VAE_MEAN, VAE_STD).astype(jnp.float32)
@@ -134,9 +149,13 @@ def make_loss_fn(spec: TaskSpec):
                                   dtype=spec.vae_dtype)
         x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
 
-        cond = image_conditioning(spec.tower_kind, params["clip"], imgs,
-                                  spec.tower_cfg, spec.latent_hw,
-                                  compute_dtype=spec.compute_dtype)
+        # LoRA dropout (peft parity, train_SigLIP_stage2_all.py:134-143)
+        # applies only to LoRA-wrapped linears, i.e. the stage-2 tower.
+        from ..core.nn import lora_dropout_ctx
+        with lora_dropout_ctx(k_drop, spec.lora_dropout):
+            cond = image_conditioning(spec.tower_kind, params["clip"], imgs,
+                                      spec.tower_cfg, spec.latent_hw,
+                                      compute_dtype=spec.compute_dtype)
 
         b = imgs.shape[0]
         t = flow.sample_timesteps(k_t, b, spec.scale_factor)
@@ -152,7 +171,10 @@ def make_loss_fn(spec: TaskSpec):
             y=cond["vec"].astype(spec.compute_dtype),
             guidance=guidance, remat=spec.remat)
 
-        return flow.mse_loss(pred, flow.velocity_target(x1, x0))
+        # "valid" gates batch rows padded up to the device count (the trainer
+        # pads instead of shrinking the mesh when bs % devices != 0)
+        return flow.mse_loss(pred, flow.velocity_target(x1, x0),
+                             mask=batch.get("valid"))
 
     return loss_fn
 

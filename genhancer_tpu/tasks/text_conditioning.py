@@ -7,9 +7,10 @@ vision projections replace text embeddings), but the generative core keeps the
 capability: this module provides the same input-dict construction from any
 embedder callables, with a CLIP-text provider built from our JAX tower.
 
-T5 note: the DiT's 4096-d context width matches T5-XXL, but a T5 encoder is
-out of scope for capability parity (the reference ships one only as dead
-code); any [B, L, 4096] sequence embedding source can be plugged in.
+T5: ``t5_sequence_provider`` + ``models.towers.t5`` provide the [B, L, 4096]
+sequence embeddings (T5-XXL width matches the DiT's context_in_dim); weights
+load from a local HF dir via ``t5.load_t5`` (HF-parity tested,
+tests/test_t5.py).
 """
 
 from __future__ import annotations
@@ -29,6 +30,17 @@ def clip_text_pooled_provider(params, cfg: clip_m.CLIPConfig) -> Callable:
     (HFEmbedder with is_clip=True semantics: pooler output)."""
     def fn(input_ids: jax.Array) -> jax.Array:
         return clip_m.get_text_features(params, input_ids, cfg)
+    return fn
+
+
+def t5_sequence_provider(params, cfg) -> Callable:
+    """token ids [B, L] -> sequence embedding [B, L, d_model] (HFEmbedder with
+    T5EncoderModel semantics: last_hidden_state, conditioner.py:30-43)."""
+    from ..models.towers import t5 as t5_m
+
+    def fn(input_ids: jax.Array, attention_mask=None) -> jax.Array:
+        return t5_m.encoder_forward(params, input_ids, cfg,
+                                    attention_mask=attention_mask)
     return fn
 
 

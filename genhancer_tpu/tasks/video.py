@@ -69,10 +69,13 @@ class VideoTaskSpec:
     lora_r: int = 16
     lora_alpha: float = 16.0
     lora_targets: object = "all-linear"
+    lora_dropout: float = 0.0          # reference stage-2 configs: 0.1
     remat: bool = False
     compute_dtype: object = jnp.bfloat16
     dit_param_dtype: object = jnp.bfloat16   # reference parity (bf16 DiT params)
     vae_dtype: object = jnp.float32          # fp32 = reference parity; bf16 = faster
+    tower_quant: str = "none"                # int8 frozen tower (stage 1)
+    vae_quant: str = "none"                  # int8 encoder convs
 
     @property
     def n_cond(self) -> int:
@@ -126,6 +129,15 @@ def init_modules(key: jax.Array, spec: VideoTaskSpec,
         modules["clip"]["model"], _ = lora_m.inject(
             modules["clip"]["model"], jax.random.fold_in(key, 99),
             r=spec.lora_r, alpha=spec.lora_alpha, targets=spec.lora_targets)
+    if spec.tower_quant == "int8":
+        from ..core import quant
+        modules["clip"]["model"] = quant.quantize_linear_tree(
+            modules["clip"]["model"])
+    if spec.vae_quant == "int8":
+        from ..core import quant
+        modules["vae"] = dict(
+            modules["vae"],
+            encoder=quant.quantize_conv_tree(modules["vae"]["encoder"]))
     return modules
 
 
@@ -150,7 +162,7 @@ def make_loss_fn(spec: VideoTaskSpec):
         target = batch["target"]      # [B, H, W, 3]
         valid = batch.get("valid")    # [B] bool or None
         b, n_cond = cond.shape[0], cond.shape[1]
-        k_vae, k_t, k_noise = jax.random.split(key, 3)
+        k_vae, k_t, k_noise, k_drop = jax.random.split(key, 4)
 
         vae_in = normalize(target, VAE_MEAN, VAE_STD).astype(jnp.float32)
         x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae,
@@ -164,8 +176,11 @@ def make_loss_fn(spec: VideoTaskSpec):
         tower_in = params["clip"]
         if spec.stage == "stage1":
             tower_in = jax.lax.stop_gradient(tower_in)  # torch.no_grad parity
-        vecs_flat, patches_flat = tower_features(spec.tower_kind, tower_in, px,
-                                                 spec.tower_cfg)
+        # LoRA dropout applies only to LoRA-wrapped linears (stage-2 tower)
+        from ..core.nn import lora_dropout_ctx
+        with lora_dropout_ctx(k_drop, spec.lora_dropout):
+            vecs_flat, patches_flat = tower_features(spec.tower_kind, tower_in,
+                                                     px, spec.tower_cfg)
         lp, dt = patches_flat.shape[1], patches_flat.shape[2]
         patches = patches_flat.reshape(b, n_cond, lp, dt)
         vecs = vecs_flat.reshape(b, n_cond, -1)

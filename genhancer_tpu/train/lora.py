@@ -11,10 +11,10 @@ peft-equivalent semantics (``train_SigLIP_stage2_all.py:134-143``):
   * merge: W' = W + scale * B @ A, factors dropped
     (``merge_and_unload`` before HF export, :305-311).
 
-LoRA dropout (0.1 in the reference configs) is intentionally not applied —
-on TPU we keep the step fully deterministic given the step RNG; documented
-behavioral deviation (the reference's own LoRA processors are also
-inconsistent about it, layers.py:112-140).
+LoRA dropout (0.1 in the reference stage-2 configs) is applied peft-style —
+``nn.Dropout(p)`` on the A-branch input only, active only while a
+``core.nn.lora_dropout_ctx`` is open (the stage-2 loss functions open one
+keyed off the step RNG, so steps stay deterministic given the key).
 
 Factors live *inside* the param tree at the wrapped linear's node
 ("lora_A"/"lora_B"/"lora_scale"), applied in ``core.nn.linear``; injection,

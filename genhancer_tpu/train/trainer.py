@@ -41,11 +41,31 @@ STEP_TIMEOUT = 300.0
 
 
 class SummaryWriterProxy:
-    """tensorboardX writer, or a no-op if unavailable/disabled."""
+    """Scalar tracker: tensorboardX or wandb (reference ``report_to`` options,
+    train_SigLIP_stage1.py:49-50,189-190), or a no-op if unavailable/disabled.
 
-    def __init__(self, logdir: Optional[str], enabled: bool = True):
+    wandb runs in offline mode unless WANDB_MODE overrides it (training
+    clusters are frequently egress-less); like the reference's
+    ``is_wandb_available()`` gate, a missing wandb degrades to a warning."""
+
+    def __init__(self, logdir: Optional[str], enabled: bool = True,
+                 backend: str = "tensorboard", project: Optional[str] = None,
+                 run_config: Optional[dict] = None):
         self.writer = None
-        if enabled and logdir:
+        self.wandb = None
+        if not (enabled and logdir):
+            return
+        if backend == "wandb":
+            try:
+                import wandb
+                os.makedirs(logdir, exist_ok=True)
+                wandb.init(project=project or "genhancer", dir=logdir,
+                           config=run_config,
+                           mode=os.environ.get("WANDB_MODE", "offline"))
+                self.wandb = wandb
+            except Exception as e:
+                log.warning("wandb tracker unavailable: %s", e)
+        elif backend == "tensorboard":
             try:
                 from tensorboardX import SummaryWriter
                 os.makedirs(logdir, exist_ok=True)
@@ -56,10 +76,14 @@ class SummaryWriterProxy:
     def scalar(self, tag: str, value: float, step: int) -> None:
         if self.writer is not None:
             self.writer.add_scalar(tag, value, step)
+        if self.wandb is not None:
+            self.wandb.log({tag: value}, step=step)
 
     def close(self) -> None:
         if self.writer is not None:
             self.writer.close()
+        if self.wandb is not None:
+            self.wandb.finish()
 
 
 def hf_export_name(cfg, step: int) -> str:
@@ -83,14 +107,13 @@ class Trainer:
         self.output_dir = cfg.get("output_dir", "output")
         os.makedirs(self.output_dir, exist_ok=True)
         mesh_m.maybe_initialize_distributed()
-        import math
         n = int(cfg.get("num_devices") or len(jax.devices()))
         bs = int(cfg.get_path("data_config.train_batch_size", 1))
-        n_fit = math.gcd(n, bs)
-        if n_fit != n:
+        if bs % n:
             log.warning("train_batch_size %d not divisible by %d devices; "
-                        "using %d-device data axis", bs, n, n_fit)
-        self.mesh = mesh_m.make_mesh(n_fit)
+                        "padding batches to %d with a masked loss", bs, n,
+                        bs + (-bs) % n)
+        self.mesh = mesh_m.make_mesh(n)
         self.is_main = jax.process_index() == 0
 
         (self.spec, (tower_params, vae_params), self.loader,
@@ -137,9 +160,14 @@ class Trainer:
             self.step_fn = make_step(self.spec, self.optimizer)
 
         self.log_interval = max(1, int(cfg.get("log_interval", 10)))
+        report_to = cfg.get("report_to")
         self.writer = SummaryWriterProxy(
             os.path.join(self.output_dir, cfg.get("logging_dir", "logs")),
-            enabled=self.is_main and cfg.get("report_to") == "tensorboard")
+            enabled=self.is_main and report_to in ("tensorboard", "wandb"),
+            backend=report_to or "tensorboard",
+            project=cfg.get("tracker_project_name"),
+            run_config={k: v for k, v in cfg.items()
+                        if isinstance(v, (int, float, str, bool))})
         self.base_key = jax.random.key(int(cfg.get("seed", 0)) + 777)
 
     # -- input ------------------------------------------------------------
@@ -148,18 +176,37 @@ class Trainer:
         """Yield device-ready batches (array leaves only; accumulation
         stacking applied)."""
         array_keys = {"image", "cond", "target", "valid"}
+        # each host pads its local rows to its local share of the data axis
+        n_data = mesh_m.data_axis_size(self.mesh) // jax.process_count()
+
+        def merge_extras(extras_list):
+            """Average numeric extras across an accumulation group (keeping
+            only the last microbatch's would skew bs_eff et al.)."""
+            if len(extras_list) == 1:
+                return extras_list[0]
+            out = {}
+            for k in extras_list[0]:
+                vals = [e[k] for e in extras_list if k in e]
+                try:
+                    out[k] = float(np.mean([float(v) for v in vals]))
+                except (TypeError, ValueError):
+                    out[k] = vals[-1]
+            return out
 
         def host_iter():
-            pending = []
+            pending, pending_extras = [], []
             for b in self.loader:
                 arrays = {k: v for k, v in b.items()
                           if k in array_keys and isinstance(v, np.ndarray)}
+                arrays = mesh_m.pad_batch_to_devices(arrays, n_data)
                 extras = {k: v for k, v in b.items() if k not in arrays}
                 if self.accum > 1:
                     pending.append(arrays)
+                    pending_extras.append(extras)
                     if len(pending) == self.accum:
-                        yield {**stack_microbatches(pending), "__extras__": extras}
-                        pending = []
+                        yield {**stack_microbatches(pending),
+                               "__extras__": merge_extras(pending_extras)}
+                        pending, pending_extras = [], []
                 else:
                     yield {**arrays, "__extras__": extras}
 

@@ -26,3 +26,29 @@ assert len(jax.devices()) == 8
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Slow-test gating (VERDICT r1 #9): the full suite is ~15 min on one CPU core;
+# the default run skips tests marked `slow` (visible as skips) so a bounded
+# driver/CI run never kills the suite wholesale.  Enable them with
+# `pytest --runslow` or GENHANCER_RUN_SLOW=1.
+# ---------------------------------------------------------------------------
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow (full ~15 min suite)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "slow: >5s test, skipped unless --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("GENHANCER_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: enable with --runslow / GENHANCER_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

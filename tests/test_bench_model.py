@@ -1,4 +1,5 @@
 """Sanity checks on bench.py's analytic FLOP model (keeps vs_baseline honest)."""
+import pytest
 import numpy as np
 
 import bench
@@ -8,6 +9,7 @@ import jax
 
 
 class TestFlopModel:
+    @pytest.mark.slow
     def test_dit_flops_consistent_with_param_count(self):
         """Matmul FLOPs per token should be ~2x matmul params (within 25%:
         the joint-attention quadratic term and stream asymmetry add slack)."""

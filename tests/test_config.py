@@ -77,3 +77,18 @@ class TestConfig:
             assert task.startswith("image_") or any(
                 task.startswith(k) for k in _VIDEO_MODE), (path, task)
             assert "data_config" in cfg and "clip_config" in cfg
+
+
+def test_cli_entry_points_exit_zero():
+    """Console scripts must not leak the metrics dict into the exit status
+    (setuptools wraps the entry point in sys.exit(); a truthy dict would make
+    every successful run exit 1)."""
+    import os
+    from genhancer_tpu.cli import train, evaluate, reconstruct
+    for mod in (train, evaluate, reconstruct):
+        assert hasattr(mod, "cli")
+    root = os.path.join(os.path.dirname(__file__), "..", "pyproject.toml")
+    toml = open(root).read()
+    for script in ("genhancer-train", "genhancer-eval", "genhancer-reconstruct"):
+        line = [l for l in toml.splitlines() if l.startswith(script)][0]
+        assert line.rstrip().endswith(':cli"'), line

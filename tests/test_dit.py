@@ -31,6 +31,7 @@ def make_inputs(cfg, B=2, L_img=8, L_txt=3, key=0):
 
 
 class TestDiT:
+    @pytest.mark.slow
     def test_output_shape_and_determinism(self):
         params = D.init_dit(jax.random.key(0), TINY)
         inp = make_inputs(TINY)
@@ -63,6 +64,7 @@ class TestDiT:
         with pytest.raises(ValueError):
             D.dit_forward(params, TINY, **inp)
 
+    @pytest.mark.slow
     def test_remat_matches_no_remat(self):
         params = D.init_dit(jax.random.key(1), TINY)
         inp = make_inputs(TINY)
@@ -70,6 +72,7 @@ class TestDiT:
         out_b = D.dit_forward(params, TINY, **inp, remat=True)
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_gradients_flow_everywhere(self):
         params = D.init_dit(jax.random.key(2), TINY)
         inp = make_inputs(TINY)

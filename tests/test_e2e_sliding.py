@@ -4,6 +4,8 @@ import os
 import numpy as np
 import jax
 import pytest
+
+pytestmark = pytest.mark.slow  # full e2e paths, minutes on 1 CPU core
 import yaml
 
 from genhancer_tpu.data import testing as fixtures

@@ -7,6 +7,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full e2e paths, minutes on 1 CPU core
 import yaml
 
 from genhancer_tpu.data import testing as fixtures

@@ -24,6 +24,7 @@ def test_forward_matches_xla(rng, L):
 
 
 @pytest.mark.parametrize("L", [64, 197])
+@pytest.mark.slow
 def test_grads_match_xla(rng, L):
     B, H, D = 1, 2, 16
     q, k, v = (jnp.asarray(rng.standard_normal((B, L, H, D), dtype=np.float32))
@@ -72,6 +73,7 @@ class TestFusedRopeAttention:
         np.testing.assert_allclose(np.asarray(o), np.asarray(self._ref(q, k, v, cos, sin)),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.slow
     def test_grads_match(self, rng):
         from genhancer_tpu.core.pallas.short_attention import fused_rope_attention
         q, k, v, cos, sin = self._setup(rng, B=1, L=9, H=8, D=8)
@@ -91,3 +93,93 @@ class TestFusedRopeAttention:
         assert _head_block(3, 9, 8) == 3
         for h, l in [(24, 197), (24, 442), (16, 512)]:
             assert h % _head_block(h, l, 128) == 0
+
+
+class TestDispatchRobustness:
+    """VERDICT r1 #8: shape-based capability gating instead of try/except,
+    plus a bounded-memory exact fallback beyond the VMEM design point."""
+
+    def test_flash_supported_design_point(self):
+        from genhancer_tpu.core.pallas.flash_attention import flash_supported
+        # the measured on-chip regimes must be supported
+        assert flash_supported(1024, 24, 128)
+        assert flash_supported(2304, 24, 128)   # sliding-window joint tokens
+        assert flash_supported(729, 16, 64)
+        # far beyond the design point must NOT claim support
+        assert not flash_supported(8192, 24, 128)
+        assert not flash_supported(16384, 24, 128)
+
+    def test_qchunk_matches_xla(self, rng):
+        from genhancer_tpu.core.attention import sdpa_xla, sdpa_xla_qchunk
+        # non-multiple-of-chunk length exercises the pad/unpad path
+        q = jnp.asarray(rng.standard_normal((2, 300, 3, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 300, 3, 16)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 300, 3, 16)), jnp.float32)
+        ref = sdpa_xla(q, k, v)
+        got = sdpa_xla_qchunk(q, k, v, max_logit_bytes=2 * 3 * 128 * 300 * 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_qchunk_grads_match_xla(self, rng):
+        from genhancer_tpu.core.attention import sdpa_xla, sdpa_xla_qchunk
+        q = jnp.asarray(rng.standard_normal((1, 260, 2, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 260, 2, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 260, 2, 8)), jnp.float32)
+        g_ref = jax.grad(lambda a, b, c: jnp.sum(sdpa_xla(a, b, c) ** 2),
+                         argnums=(0, 1, 2))(q, k, v)
+        g_got = jax.grad(
+            lambda a, b, c: jnp.sum(
+                sdpa_xla_qchunk(a, b, c, max_logit_bytes=1 * 2 * 128 * 260 * 4) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for r, g in zip(g_ref, g_got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=5e-5, atol=5e-5)
+
+    def test_forced_pallas_raises_beyond_design_point(self, monkeypatch):
+        from genhancer_tpu.core import attention as A
+        monkeypatch.setattr(A, "_USE_PALLAS", "1")
+        monkeypatch.setattr(A, "_pallas_available", lambda: True)
+        q = jnp.zeros((1, 8192, 2, 128), jnp.float32)
+        with pytest.raises(ValueError, match="design point"):
+            A.sdpa(q, q, q)
+
+    def test_unforced_falls_back_to_qchunk(self, monkeypatch):
+        from genhancer_tpu.core import attention as A
+        monkeypatch.setattr(A, "_USE_PALLAS", "auto")
+        monkeypatch.setattr(A, "_pallas_available", lambda: True)
+        called = {}
+        real = A.sdpa_xla_qchunk
+        monkeypatch.setattr(A, "sdpa_xla_qchunk",
+                            lambda *a, **kw: called.setdefault("yes", True) or real(*a, **kw))
+        q = jnp.zeros((1, 4096, 1, 128), jnp.float32)
+        A.sdpa(q, q, q)
+        assert called.get("yes")
+
+
+class TestFusedNoRope:
+    """fused_attention (tower path): parity with sdpa_xla incl. grads."""
+
+    def test_forward_matches_xla(self, rng):
+        from genhancer_tpu.core.attention import sdpa_xla
+        from genhancer_tpu.core.pallas.short_attention import fused_attention
+        q = jnp.asarray(rng.standard_normal((2, 65, 4, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 65, 4, 16)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 65, 4, 16)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(fused_attention(q, k, v)),
+                                   np.asarray(sdpa_xla(q, k, v)),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.slow
+    def test_grads_match_xla(self, rng):
+        from genhancer_tpu.core.attention import sdpa_xla
+        from genhancer_tpu.core.pallas.short_attention import fused_attention
+        q = jnp.asarray(rng.standard_normal((1, 33, 2, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 33, 2, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 33, 2, 8)), jnp.float32)
+        g_ref = jax.grad(lambda a, b, c: jnp.sum(sdpa_xla(a, b, c) ** 2),
+                         argnums=(0, 1, 2))(q, k, v)
+        g_got = jax.grad(lambda a, b, c: jnp.sum(fused_attention(a, b, c) ** 2),
+                         argnums=(0, 1, 2))(q, k, v)
+        for r, g in zip(g_ref, g_got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=5e-5, atol=5e-5)

@@ -1,4 +1,5 @@
 """IP-adapter conditioning + DiT-LoRA tests (generative-core API surface)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,6 +12,7 @@ from test_dit import TINY, make_inputs
 
 
 class TestIPAdapter:
+    @pytest.mark.slow
     def test_zero_init_is_noop(self):
         params = D.init_dit(jax.random.key(0), TINY)
         ip_params = IP.init_ip_params(jax.random.key(1), TINY,
@@ -71,6 +73,7 @@ class TestIPAdapter:
 
 
 class TestDiTLoRA:
+    @pytest.mark.slow
     def test_inject_on_dit_qkv(self):
         """The reference's LoraFluxAttnProcessor / DoubleStreamBlockLora-
         Processor equivalent: generic LoRA injection on DiT qkv/proj linears."""

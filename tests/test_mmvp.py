@@ -81,6 +81,7 @@ class TestMMVP:
         assert pairs[0].text1.startswith("a photo of ")
         assert os.path.exists(pairs[0].img1)
 
+    @pytest.mark.slow
     def test_accuracy_parity_vs_reference_protocol(self, micro_benchmark):
         model, _ = tiny_hf_clip()
         jcfg = jclip.CLIPConfig.from_hf(model.config.to_dict())

@@ -1,0 +1,143 @@
+"""int8 quantization (core.quant): numerics, STE gradients, tree surgery,
+and the stage-1 int8 step (frozen tower/VAE on the v5e's 2x int8 MXU path —
+see BASELINE.md "bf16 physical ceiling")."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from genhancer_tpu.core import nn, quant
+
+
+class TestQuantNumerics:
+    def test_weight_roundtrip_error(self):
+        w = jnp.asarray(np.random.default_rng(0).normal(size=(64, 128)),
+                        jnp.float32)
+        q, s = quant.quantize_weight(w, axis=0)
+        assert q.dtype == jnp.int8 and s.shape == (64, 1)
+        deq = q.astype(jnp.float32) * s
+        err = np.abs(np.asarray(deq - w))
+        # symmetric per-channel: error bounded by scale/2 per element
+        assert (err <= np.asarray(s) / 2 + 1e-7).all()
+
+    def test_linear_int8_close_to_fp32(self):
+        rng = np.random.default_rng(1)
+        w = rng.normal(size=(96, 128)).astype(np.float32)
+        b = rng.normal(size=(96,)).astype(np.float32)
+        x = rng.normal(size=(4, 17, 128)).astype(np.float32)
+        ref = x @ w.T + b
+        q, s = quant.quantize_weight(jnp.asarray(w), axis=0)
+        p = {"weight_q": q, "w_scale": s, "bias": jnp.asarray(b)}
+        got = np.asarray(nn.linear(p, jnp.asarray(x)))
+        rel = np.abs(got - ref) / (np.abs(ref).mean() + 1e-6)
+        assert rel.mean() < 0.02, rel.mean()   # ~1% dynamic-quant noise
+
+    def test_conv_int8_close_to_fp32(self):
+        rng = np.random.default_rng(2)
+        w = rng.normal(size=(3, 3, 32, 48)).astype(np.float32) * 0.1
+        x = rng.normal(size=(2, 8, 8, 32)).astype(np.float32)
+        ref = np.asarray(nn.conv2d({"weight": jnp.asarray(w)}, jnp.asarray(x)))
+        q, s = quant.quantize_weight(jnp.asarray(w), axis=3)
+        got = np.asarray(nn.conv2d({"weight_q": q, "w_scale": s}, jnp.asarray(x)))
+        rel = np.abs(got - ref) / (np.abs(ref).mean() + 1e-6)
+        assert rel.mean() < 0.03, rel.mean()
+
+    def test_ste_gradient_matches_dequant_matmul(self):
+        """d x through the int8 layer must be g @ dequant(W), not zero."""
+        rng = np.random.default_rng(3)
+        w = rng.normal(size=(24, 16)).astype(np.float32)
+        x = jnp.asarray(rng.normal(size=(5, 16)).astype(np.float32))
+        q, s = quant.quantize_weight(jnp.asarray(w), axis=0)
+        p = {"weight_q": q, "w_scale": s}
+        deq = np.asarray(q.astype(jnp.float32) * s)
+
+        g = jax.grad(lambda x_: jnp.sum(nn.linear(p, x_) ** 2))(x)
+        y = np.asarray(nn.linear(p, x))
+        want = 2 * y @ deq
+        np.testing.assert_allclose(np.asarray(g), want, rtol=2e-3, atol=2e-3)
+        assert np.abs(np.asarray(g)).max() > 0
+
+    def test_lora_composes_with_int8_base(self):
+        rng = np.random.default_rng(4)
+        w = rng.normal(size=(24, 16)).astype(np.float32)
+        q, s = quant.quantize_weight(jnp.asarray(w), axis=0)
+        A = rng.normal(size=(4, 16)).astype(np.float32)
+        B = rng.normal(size=(24, 4)).astype(np.float32)
+        x = jnp.asarray(rng.normal(size=(3, 16)).astype(np.float32))
+        p = {"weight_q": q, "w_scale": s, "lora_A": jnp.asarray(A),
+             "lora_B": jnp.asarray(B), "lora_scale": jnp.asarray(1.0)}
+        base = np.asarray(nn.linear({"weight_q": q, "w_scale": s}, x))
+        got = np.asarray(nn.linear(p, x))
+        want = base + (np.asarray(x) @ A.T) @ B.T
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestTreeSurgery:
+    def test_quantize_linear_tree_skips_small_and_lora(self):
+        tree = {
+            "big": {"weight": jnp.ones((128, 128)), "bias": jnp.zeros((128,))},
+            "small": {"weight": jnp.ones((8, 8))},
+            "wrapped": {"weight": jnp.ones((128, 128)),
+                        "lora_A": jnp.ones((2, 128)),
+                        "lora_B": jnp.zeros((128, 2)),
+                        "lora_scale": jnp.asarray(1.0)},
+            "embeddings": {"token_embedding": {"weight": jnp.ones((100, 128))}},
+        }
+        out = quant.quantize_linear_tree(tree)
+        assert "weight_q" in out["big"] and "weight" not in out["big"]
+        assert "weight" in out["small"]
+        assert "weight" in out["wrapped"]          # LoRA-wrapped untouched
+        assert "weight" in out["embeddings"]["token_embedding"]
+
+    def test_quantize_conv_tree(self):
+        tree = {"conv1": {"weight": jnp.ones((3, 3, 64, 64)),
+                          "bias": jnp.zeros((64,))},
+                "conv_in": {"weight": jnp.ones((3, 3, 3, 64))}}  # 3 in-ch: skip
+        out = quant.quantize_conv_tree(tree)
+        assert "weight_q" in out["conv1"]
+        assert "weight" in out["conv_in"]
+
+
+class TestInt8Stage1Step:
+    @pytest.mark.slow
+    def test_int8_step_trains_and_tracks_bf16(self):
+        """Stage-1 with int8 tower+VAE must train (finite loss, close to the
+        unquantized loss on the same batch/key)."""
+        from genhancer_tpu.tasks import image as image_task
+        from genhancer_tpu.models import dit as dit_m, vae as vae_m
+        from genhancer_tpu.models.towers import clip as clip_m
+        from genhancer_tpu.train import optim
+        from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+
+        tower_cfg = clip_m.CLIPConfig(
+            vision=clip_m.CLIPVisionConfig(hidden_size=64, intermediate_size=128,
+                                           num_layers=2, num_heads=2,
+                                           image_size=28, patch_size=14),
+            text=clip_m.CLIPTextConfig(hidden_size=64, intermediate_size=128,
+                                       num_layers=1, num_heads=2, vocab_size=50,
+                                       max_position_embeddings=8),
+            projection_dim=64)
+
+        def make(quantized):
+            return image_task.TaskSpec(
+                stage="stage1", tower_kind="clip", img_size=32,
+                clip_image_size=28, dit_cfg=dit_m.DIT_CONFIGS["flux-debug"],
+                vae_cfg=vae_m.VAE_CONFIGS["flux-debug"], tower_cfg=tower_cfg,
+                compute_dtype=jnp.float32, dit_param_dtype=jnp.float32,
+                tower_quant="int8" if quantized else "none",
+                vae_quant="int8" if quantized else "none")
+
+        opt = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        batch = {"image": jnp.asarray(
+            np.random.default_rng(0).random((2, 32, 32, 3), np.float32))}
+
+        losses = {}
+        for quantized in (False, True):
+            spec = make(quantized)
+            state = image_task.create_task_state(jax.random.key(0), spec, opt)
+            step = image_task.make_train_step(spec, opt)
+            state, m = step(state, batch, jax.random.key(7))
+            losses[quantized] = float(m["loss"])
+            assert np.isfinite(losses[quantized])
+        # same init/key/noise; only the frozen-path quant noise differs
+        assert abs(losses[True] - losses[False]) / losses[False] < 0.08, losses

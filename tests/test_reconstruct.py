@@ -5,6 +5,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # full e2e paths, minutes on 1 CPU core
+
 from genhancer_tpu.eval import reconstruct as R
 from genhancer_tpu.tasks import image as image_task
 

@@ -54,6 +54,7 @@ def opt_cfg(**kw):
 
 
 class TestImageStage1:
+    @pytest.mark.slow
     def test_step_runs_and_loss_decreases(self):
         spec = make_image_spec("stage1")
         optimizer = optim.make_optimizer(opt_cfg())
@@ -78,6 +79,7 @@ class TestImageStage1:
         # frozen side holds the tower and VAE
         assert any(k.startswith("vae.") for k in state.frozen)
 
+    @pytest.mark.slow
     def test_frozen_params_unchanged_after_step(self):
         spec = make_image_spec("stage1")
         optimizer = optim.make_optimizer(opt_cfg())
@@ -91,6 +93,7 @@ class TestImageStage1:
 
 
 class TestImageStage2:
+    @pytest.mark.slow
     def test_stage2_only_trains_lora_only(self):
         spec = make_image_spec("stage2_only")
         optimizer = optim.make_optimizer(opt_cfg())
@@ -106,6 +109,7 @@ class TestImageStage2:
                    if "lora_B" in k and not np.array_equal(np.asarray(v), before[k])]
         assert changed, "lora_B never updated — tower not in autodiff graph"
 
+    @pytest.mark.slow
     def test_stage2_all_trains_dit_too(self):
         spec = make_image_spec("stage2_all")
         optimizer = optim.make_optimizer(opt_cfg())
@@ -116,6 +120,7 @@ class TestImageStage2:
 
 class TestVideoTasks:
     @pytest.mark.parametrize("mode", ["middle", "next", "next2", "sliding"])
+    @pytest.mark.slow
     def test_video_step_runs(self, mode):
         spec = video_task.VideoTaskSpec(
             mode=mode, stage="stage1", tower_kind="clip", img_size=32,
@@ -134,6 +139,7 @@ class TestVideoTasks:
         # adapter must train
         assert any(k.startswith("visual_adapter.") for k in state.trainable)
 
+    @pytest.mark.slow
     def test_video_stage2_lora(self):
         spec = video_task.VideoTaskSpec(
             mode="middle", stage="stage2_all", tower_kind="clip", img_size=32,
@@ -155,6 +161,7 @@ class TestMeshDP:
         mesh = mesh_m.make_mesh()
         assert mesh_m.data_axis_size(mesh) == 8
 
+    @pytest.mark.slow
     def test_sharded_step_matches_single_device(self):
         """DP over the mesh must give identical losses to unsharded execution
         (same global batch, replicated params)."""
@@ -188,3 +195,37 @@ class TestMeshDP:
         padded, mask = mesh_m.pad_to_multiple(x, 8)
         assert padded.shape == (8, 2)
         assert mask.sum() == 5
+
+
+class TestBatchPadding:
+    """VERDICT r1 #7: non-divisible batches pad to the device count with a
+    masked loss instead of shrinking the mesh."""
+
+    def test_pad_batch_to_devices(self):
+        from genhancer_tpu.parallel import mesh as M
+        arrays = {"image": np.ones((6, 4, 4, 3), np.float32)}
+        out = M.pad_batch_to_devices(arrays, 8)
+        assert out["image"].shape[0] == 8
+        assert out["valid"].tolist() == [True] * 6 + [False] * 2
+        # divisible batches pass through untouched (no mask added)
+        same = M.pad_batch_to_devices({"image": np.ones((8, 2))}, 8)
+        assert "valid" not in same and same["image"].shape[0] == 8
+
+    def test_pad_preserves_existing_mask(self):
+        from genhancer_tpu.parallel import mesh as M
+        arrays = {"cond": np.ones((6, 1, 4, 4, 3), np.float32),
+                  "valid": np.array([True] * 5 + [False])}
+        out = M.pad_batch_to_devices(arrays, 8)
+        assert out["valid"].tolist() == [True] * 5 + [False] * 3
+
+    def test_masked_image_loss_ignores_pad_rows(self):
+        """Padded rows must not change the image-task loss."""
+        import jax.numpy as jnp
+        from genhancer_tpu.train import flow
+        pred = jnp.asarray(np.random.default_rng(0).normal(size=(4, 6, 8)),
+                           jnp.float32)
+        tgt = jnp.asarray(np.random.default_rng(1).normal(size=(4, 6, 8)),
+                          jnp.float32)
+        full = flow.mse_loss(pred[:3], tgt[:3])
+        masked = flow.mse_loss(pred, tgt, mask=jnp.array([True, True, True, False]))
+        np.testing.assert_allclose(float(masked), float(full), rtol=1e-6)

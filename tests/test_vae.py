@@ -3,6 +3,7 @@
 Tiny config (ch=8, 2 levels) keeps CPU runtime small; the f8 topology and
 asymmetric downsample padding are exercised exactly as in the full model.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ class TestVAE:
         # 2 levels -> f2 downsampling; 2*z channels
         assert moments.shape == (2, 16, 16, 8)
 
+    @pytest.mark.slow
     def test_encode_decode_roundtrip_shapes(self):
         params = V.init_vae(jax.random.key(0), TINY)
         x = jnp.zeros((1, 32, 32, 3))

@@ -1,4 +1,5 @@
 """Checkpoint layout tests: DiT/VAE pytrees <-> reference torch key naming."""
+import pytest
 import numpy as np
 import jax
 
@@ -13,6 +14,7 @@ TINY_DIT = D.DiTConfig(in_channels=8, vec_in_dim=12, context_in_dim=16,
 
 
 class TestDiTKeys:
+    @pytest.mark.slow
     def test_torch_keys_match_reference_naming(self):
         """Key names must match the reference Flux state_dict
         (src/flux/model.py:50-77, modules/layers.py) so
@@ -55,6 +57,7 @@ class TestDiTKeys:
         for k in flat_a:
             np.testing.assert_array_equal(np.asarray(flat_a[k]), flat_b[k])
 
+    @pytest.mark.slow
     def test_forward_after_roundtrip(self):
         import jax.numpy as jnp
         params = D.init_dit(jax.random.key(2), TINY_DIT)
