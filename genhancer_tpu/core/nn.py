@@ -39,6 +39,27 @@ Params = Dict[str, Any]
 
 _LORA_DROPOUT_CTX = threading.local()
 
+# ---------------------------------------------------------------------------
+# int8-training context (SwitchBack, core.quant.switchback_linear): while
+# active, every large-enough ``linear`` base matmul traced in the block runs
+# int8 fwd + int8 dx + bf16 dW.  Used for the DiT when TaskSpec.dit_quant ==
+# "int8" — the v5e runs int8 at 2x bf16 MACs and the DiT is ~87% linear
+# matmul FLOPs.  Trace-time only (like lora_dropout_ctx).
+# ---------------------------------------------------------------------------
+
+_INT8_TRAIN_CTX = threading.local()
+
+
+@contextlib.contextmanager
+def int8_training_ctx(min_dim: int = 512):
+    """Route linears with min(out, in) >= min_dim through switchback int8."""
+    prev = getattr(_INT8_TRAIN_CTX, "min_dim", None)
+    _INT8_TRAIN_CTX.min_dim = int(min_dim)
+    try:
+        yield
+    finally:
+        _INT8_TRAIN_CTX.min_dim = prev
+
 
 @contextlib.contextmanager
 def lora_dropout_ctx(key: jax.Array, rate: float):
@@ -95,8 +116,13 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
         y = linear_int8_base(p, x)
     else:
         w = p["weight"].astype(x.dtype)
-        y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
-                                preferred_element_type=x.dtype)
+        sb_min = getattr(_INT8_TRAIN_CTX, "min_dim", None)
+        if sb_min is not None and min(w.shape) >= sb_min:
+            from .quant import switchback_linear
+            y = switchback_linear(x, w)
+        else:
+            y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
+                                    preferred_element_type=x.dtype)
     if "lora_A" in p:
         a = p["lora_A"].astype(x.dtype)
         b = p["lora_B"].astype(x.dtype)

@@ -1,0 +1,122 @@
+"""Pallas fused AdamW update — one HBM-optimal pass per parameter leaf.
+
+Replaces the reference's ``torch.optim.AdamW`` + ``clip_grad_norm_`` step
+(``/root/reference/Continuous/train_SigLIP_stage1.py:147-153,272``) with a
+TPU-native in-place kernel.  Why Pallas: at ~1B trainable params the update
+is pure HBM bandwidth; the ``optax.chain(clip_by_global_norm, adamw,
+apply_updates)`` composition materializes staged full-tensor temporaries
+(measured 33.5 ms/step on v5e), while this kernel reads g/p/m/v once and
+writes p/m/v once through ``input_output_aliases`` — the 14 bytes/param
+floor (~17 ms at 1B params + one 2-byte/param grad read for the global
+norm).
+
+Semantics match the optax chain exactly: g' = g * min(1, c/||g||_global),
+bias-corrected Adam moments, decoupled weight decay
+``p -= lr * (m_hat / (sqrt(v_hat) + eps) + wd * p)``.  Arithmetic is f32;
+p/m/v load and store in their storage dtype (bf16 for the DiT, f32 for the
+projectors).  Leaves smaller than one tile run the same math in plain XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = os.environ.get("GENHANCER_PALLAS_INTERPRET", "0") == "1"
+
+def _block_rows(cols, p, m, g):
+    """Rows per grid step, sized so 7 live buffers x double-buffering stay
+    well under the ~16 MB VMEM scoped limit (f32 leaves hit it at 512)."""
+    bytes_per_row = cols * (p.dtype.itemsize * 2 + m.dtype.itemsize * 4
+                            + g.dtype.itemsize)
+    budget = 8 * 1024 * 1024
+    blk = max(budget // (2 * bytes_per_row), 8)
+    return min(1 << (int(blk).bit_length() - 1), 512)
+
+
+def _adamw_kernel(sc_ref, p_ref, m_ref, v_ref, g_ref,
+                  po_ref, mo_ref, vo_ref, *, b1, b2, eps, wd):
+    """sc_ref (SMEM): [scale, lr, 1/bc1, 1/bc2]."""
+    scale, lr, inv_bc1, inv_bc2 = (sc_ref[0], sc_ref[1], sc_ref[2], sc_ref[3])
+    g = g_ref[:].astype(jnp.float32) * scale
+    m = b1 * m_ref[:].astype(jnp.float32) + (1.0 - b1) * g
+    v = b2 * v_ref[:].astype(jnp.float32) + (1.0 - b2) * g * g
+    p = p_ref[:].astype(jnp.float32)
+    mhat = m * inv_bc1
+    vhat = v * inv_bc2
+    p = p - lr * (mhat / (jnp.sqrt(vhat) + eps) + wd * p)
+    po_ref[:] = p.astype(po_ref.dtype)
+    mo_ref[:] = m.astype(mo_ref.dtype)
+    vo_ref[:] = v.astype(vo_ref.dtype)
+
+
+def _update_leaf_pallas(p, m, v, g, scalars, b1, b2, eps, wd):
+    """Leaves keep their NATIVE 2-D shape — a reshape to a canonical lane
+    count would be a physical relayout on TPU (tiled storage), costing extra
+    full read+write passes and breaking in-place aliasing (measured: 91 ms
+    vs 33.5 ms optax at ~1B params with the reshape; native-shape blocks
+    must only block the row axis)."""
+    rows, cols = p.shape
+    blk = min(_block_rows(cols, p, m, g), rows)
+    grid = (pl.cdiv(rows, blk),)
+    bs = pl.BlockSpec((blk, cols), lambda i: (i, 0))
+    kernel = functools.partial(_adamw_kernel, b1=b1, b2=b2, eps=eps, wd=wd)
+    po, mo, vo = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  bs, bs, bs, bs],
+        out_specs=(bs, bs, bs),
+        out_shape=(jax.ShapeDtypeStruct(p.shape, p.dtype),
+                   jax.ShapeDtypeStruct(m.shape, m.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        interpret=_INTERPRET,
+    )(scalars, p, m, v, g)
+    return po, mo, vo
+
+
+def _update_leaf_xla(p, m, v, g, scalars, b1, b2, eps, wd):
+    scale, lr, inv_bc1, inv_bc2 = (scalars[0], scalars[1], scalars[2], scalars[3])
+    gf = g.astype(jnp.float32) * scale
+    mf = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+    vf = b2 * v.astype(jnp.float32) + (1.0 - b2) * gf * gf
+    pf = p.astype(jnp.float32)
+    pf = pf - lr * ((mf * inv_bc1) / (jnp.sqrt(vf * inv_bc2) + eps) + wd * pf)
+    return pf.astype(p.dtype), mf.astype(m.dtype), vf.astype(v.dtype)
+
+
+def fused_adamw_apply(params, mu, nu, grads, count, schedule,
+                      b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+                      max_grad_norm=1.0):
+    """Tree-level apply: returns (new_params, new_mu, new_nu).
+
+    ``count`` is the post-increment step (1-based, like optax/torch).
+    """
+    import optax
+
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6)).astype(jnp.float32)
+    lr = jnp.asarray(schedule(count), jnp.float32)
+    cf = count.astype(jnp.float32)
+    inv_bc1 = 1.0 / (1.0 - b1 ** cf)
+    inv_bc2 = 1.0 / (1.0 - b2 ** cf)
+    scalars = jnp.stack([scale, lr, inv_bc1, inv_bc2])
+
+    def leaf(p, m, v, g):
+        if (p.ndim == 2 and p.shape[1] % 128 == 0 and p.shape[0] % 8 == 0
+                and p.size >= 64 * 1024):
+            return _update_leaf_pallas(p, m, v, g, scalars,
+                                       b1, b2, eps, weight_decay)
+        return _update_leaf_xla(p, m, v, g, scalars, b1, b2, eps, weight_decay)
+
+    out = jax.tree_util.tree_map(leaf, params, mu, nu, grads)
+    is_triple = lambda x: isinstance(x, tuple) and len(x) == 3
+    unzip = lambda i: jax.tree_util.tree_map(lambda t: t[i], out,
+                                             is_leaf=is_triple)
+    return unzip(0), unzip(1), unzip(2)

@@ -54,6 +54,32 @@ def init_encoder(key, cfg: EncoderConfig):
     return {"layers": [init_encoder_layer(k, cfg) for k in ks]}
 
 
+def _mergeable_qkv(p) -> bool:
+    """Self-attention q/k/v can run as ONE [h -> 3h] matmul when the three
+    nodes are plain (or int8-static) linears with no LoRA wrapping.  At
+    tower shapes (K = 1024) three separate [M, 1024, 1024] dots badly
+    underfill the MXU — one [M, 1024, 3072] dot measured ~1.5x faster on
+    v5e.  LoRA-wrapped (stage-2) projections keep the separate path."""
+    keys = ("q_proj", "k_proj", "v_proj")
+    if any("lora_A" in p[k] for k in keys):
+        return False
+    kind = "weight" if "weight" in p["q_proj"] else "weight_q"
+    return all(kind in p[k] for k in keys)
+
+
+def _merged_qkv(p, x):
+    keys = ("q_proj", "k_proj", "v_proj")
+    merged = {}
+    if "weight" in p["q_proj"]:
+        merged["weight"] = jnp.concatenate([p[k]["weight"] for k in keys], 0)
+    else:
+        merged["weight_q"] = jnp.concatenate([p[k]["weight_q"] for k in keys], 0)
+        merged["w_scale"] = jnp.concatenate([p[k]["w_scale"] for k in keys], 0)
+    if "bias" in p["q_proj"]:
+        merged["bias"] = jnp.concatenate([p[k]["bias"] for k in keys], 0)
+    return jnp.split(nn.linear(merged, x), 3, axis=-1)
+
+
 def mha(p, x_q, x_kv, num_heads: int, mask: Optional[jax.Array] = None) -> jax.Array:
     """Multi-head attention with separate q/k/v/out projections.
 
@@ -63,9 +89,15 @@ def mha(p, x_q, x_kv, num_heads: int, mask: Optional[jax.Array] = None) -> jax.A
     b, lq, h = x_q.shape
     lk = x_kv.shape[1]
     d = h // num_heads
-    q = nn.linear(p["q_proj"], x_q).reshape(b, lq, num_heads, d)
-    k = nn.linear(p["k_proj"], x_kv).reshape(b, lk, num_heads, d)
-    v = nn.linear(p["v_proj"], x_kv).reshape(b, lk, num_heads, d)
+    if x_q is x_kv and _mergeable_qkv(p):
+        q, k, v = _merged_qkv(p, x_q)
+        q = q.reshape(b, lq, num_heads, d)
+        k = k.reshape(b, lk, num_heads, d)
+        v = v.reshape(b, lk, num_heads, d)
+    else:
+        q = nn.linear(p["q_proj"], x_q).reshape(b, lq, num_heads, d)
+        k = nn.linear(p["k_proj"], x_kv).reshape(b, lk, num_heads, d)
+        v = nn.linear(p["v_proj"], x_kv).reshape(b, lk, num_heads, d)
     if mask is None and lq == lk:
         from ...core.attention import sdpa_auto
         out = sdpa_auto(q, k, v)

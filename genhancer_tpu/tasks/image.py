@@ -14,6 +14,7 @@ all-reduce (replacing Accelerate/DDP/NCCL, SURVEY.md §5.8).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from dataclasses import dataclass
 from typing import Callable, Dict, Tuple
@@ -61,6 +62,9 @@ class TaskSpec:
     # frozen base in stage 2; vae_quant quantizes the encoder convs.
     tower_quant: str = "none"         # "none" | "int8"
     vae_quant: str = "none"           # "none" | "int8"
+    # SwitchBack int8 training for the (trainable) DiT: int8 fwd + int8 dx,
+    # bf16 dW (core.quant.switchback_linear, arXiv:2304.13013).
+    dit_quant: str = "none"           # "none" | "int8"
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -163,13 +167,16 @@ def make_loss_fn(spec: TaskSpec):
         xt = flow.interpolate(x1, x0, t)
         guidance = jnp.full((b,), spec.guidance, spec.compute_dtype)
 
-        pred = dit_m.dit_forward(
-            params["dit"], spec.dit_cfg,
-            img=xt.astype(spec.compute_dtype), img_ids=cond["img_ids"],
-            txt=cond["txt"].astype(spec.compute_dtype), txt_ids=cond["txt_ids"],
-            timesteps=t.astype(spec.compute_dtype),
-            y=cond["vec"].astype(spec.compute_dtype),
-            guidance=guidance, remat=spec.remat)
+        from ..core.nn import int8_training_ctx
+        with (int8_training_ctx() if spec.dit_quant == "int8"
+              else contextlib.nullcontext()):
+            pred = dit_m.dit_forward(
+                params["dit"], spec.dit_cfg,
+                img=xt.astype(spec.compute_dtype), img_ids=cond["img_ids"],
+                txt=cond["txt"].astype(spec.compute_dtype), txt_ids=cond["txt_ids"],
+                timesteps=t.astype(spec.compute_dtype),
+                y=cond["vec"].astype(spec.compute_dtype),
+                guidance=guidance, remat=spec.remat)
 
         # "valid" gates batch rows padded up to the device count (the trainer
         # pads instead of shrinking the mesh when bs % devices != 0)

@@ -109,15 +109,59 @@ def fused_adamw_clip(schedule, b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init, update)
 
 
+def pallas_adamw_clip(schedule, b1: float = 0.9, b2: float = 0.999,
+                      eps: float = 1e-8, weight_decay: float = 0.01,
+                      max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+    """clip-by-global-norm + AdamW as one in-place Pallas pass per leaf
+    (core.pallas.adamw): ~14 bytes/param of HBM traffic vs the optax chain's
+    staged temporaries.
+
+    To preserve the single-pass property the transformation's "updates" are
+    the NEW PARAMETERS wrapped in ``_NewParams`` (computing a delta would
+    force an extra full-tensor subtraction + apply pass);
+    ``train.state.apply_gradients`` unwraps it instead of calling
+    ``optax.apply_updates``."""
+
+    def init(params):
+        return FusedAdamWState(count=jnp.zeros((), jnp.int32),
+                               mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+                               nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("pallas_adamw_clip requires params")
+        from ..core.pallas.adamw import fused_adamw_apply
+        count = state.count + 1
+        new_p, mu, nu = fused_adamw_apply(
+            params, state.mu, state.nu, grads, count, schedule,
+            b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+            max_grad_norm=max_grad_norm)
+        updates = _NewParams(new_p)
+        return updates, FusedAdamWState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+class _NewParams:
+    """Marker wrapper: 'updates' that are already the new parameters.
+
+    ``train.state.apply_gradients`` unwraps it instead of calling
+    ``optax.apply_updates`` — avoiding an extra read+write pass over all
+    params (the whole point of the fused in-place kernel)."""
+
+    def __init__(self, params):
+        self.params = params
+
+
 def make_optimizer(cfg, total_steps: Optional[int] = None,
                    fused: Optional[bool] = None) -> optax.GradientTransformation:
     """cfg: a train Config (train.config) with the reference optimizer knobs.
 
-    ``fused`` (or config key ``fused_optimizer``) selects the single-pass
-    implementation; the default is the optax chain, which measured *faster*
-    on v5e (33.5 ms vs 44.5 ms at ~1B bf16 params — XLA's per-stage fusions
-    beat the one wide multi-output fusion).  The fused path is kept for
-    meshes/shapes where the trade flips."""
+    ``fused`` (or config key ``fused_optimizer``) selects the implementation:
+    False/"chain" = optax chain (reference-parity composition); True/"xla" =
+    single-pass XLA tree_map (kept for meshes where the trade flips);
+    "pallas" = in-place Pallas kernel (fastest measured on v5e; the default
+    for the shipped TPU configs)."""
     schedule = make_lr_schedule(cfg.get("lr_scheduler", "constant"),
                                 float(cfg.get("learning_rate", 1e-4)),
                                 int(cfg.get("lr_warmup_steps", 0)),
@@ -127,12 +171,14 @@ def make_optimizer(cfg, total_steps: Optional[int] = None,
               eps=float(cfg.get("adam_epsilon", 1e-8)),
               weight_decay=float(cfg.get("adam_weight_decay", 0.01)))
     if fused is None:
-        fused = bool(cfg.get("fused_optimizer", False))
-    if fused:
-        return fused_adamw_clip(schedule, max_grad_norm=float(
-            cfg.get("max_grad_norm", 1.0)), **kw)
+        fused = cfg.get("fused_optimizer", False)
+    max_gn = float(cfg.get("max_grad_norm", 1.0))
+    if fused in ("pallas",):
+        return pallas_adamw_clip(schedule, max_grad_norm=max_gn, **kw)
+    if fused in (True, "xla"):
+        return fused_adamw_clip(schedule, max_grad_norm=max_gn, **kw)
     return optax.chain(
-        optax.clip_by_global_norm(float(cfg.get("max_grad_norm", 1.0))),
+        optax.clip_by_global_norm(max_gn),
         optax.adamw(learning_rate=schedule, **kw),
     )
 

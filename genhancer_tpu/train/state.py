@@ -84,6 +84,11 @@ def create_state(modules: Dict[str, Any], trainable_pred, optimizer) -> TrainSta
 
 def apply_gradients(state: TrainState, grads, optimizer) -> TrainState:
     updates, new_opt = optimizer.update(grads, state.opt_state, state.trainable)
-    new_trainable = optax.apply_updates(state.trainable, updates)
+    from .optim import _NewParams
+    if isinstance(updates, _NewParams):
+        # pallas_adamw_clip already produced the new params in-place
+        new_trainable = updates.params
+    else:
+        new_trainable = optax.apply_updates(state.trainable, updates)
     return TrainState(trainable=new_trainable, frozen=state.frozen,
                       opt_state=new_opt, step=state.step + 1)

@@ -42,8 +42,10 @@ def main():
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--only", type=str, default="")
-    ap.add_argument("--optimizer", type=str, default="fused",
-                    choices=["fused", "chained"])
+    ap.add_argument("--optimizer", type=str, default="chained",
+                    choices=["fused", "chained", "pallas"])
+    ap.add_argument("--dit-quant", type=str, default="none",
+                    choices=["none", "int8"])
     args = ap.parse_args()
 
     from genhancer_tpu.models import dit as dit_m
@@ -72,7 +74,8 @@ def main():
     spec_bf16 = make_spec(vae_dtype=jnp.bfloat16)
 
     cfg = Config(dict(TRAIN_DEFAULTS))
-    optimizer = optim.make_optimizer(cfg, fused=args.optimizer == "fused")
+    optimizer = optim.make_optimizer(
+        cfg, fused={"fused": True, "chained": False, "pallas": "pallas"}[args.optimizer])
 
     rng = np.random.default_rng(0)
     batch = {"image": jnp.asarray(
@@ -87,7 +90,7 @@ def main():
 
     # full task state only where needed (it is ~7 GB with optimizer moments;
     # holding it alongside standalone-component executables OOMs the chip)
-    if want("vae") or want("cond") or want("opt"):
+    if any(want(n) for n in ("vae", "cond", "opt", "vae_q", "cond_q")):
         state = image_task.create_task_state(jax.random.key(0), spec_f32, optimizer)
         params = unflatten_params({**state.frozen, **state.trainable})
 
@@ -172,7 +175,7 @@ def main():
 
     if want("step_q"):
         spec_q = make_spec(vae_dtype=jnp.bfloat16, tower_quant="int8",
-                           vae_quant="int8")
+                           vae_quant="int8", dit_quant=args.dit_quant)
         step = image_task.make_train_step(spec_q, optimizer)
         st = image_task.create_task_state(jax.random.key(0), spec_q, optimizer)
         for i in range(2):
@@ -204,11 +207,19 @@ def main():
         ts = jnp.full((args.batch,), 0.5, jnp.bfloat16)
         gd = jnp.full((args.batch,), 4.0, jnp.bfloat16)
 
+        import contextlib
+        from genhancer_tpu.core.nn import int8_training_ctx
+
+        def ctx():
+            return (int8_training_ctx() if args.dit_quant == "int8"
+                    else contextlib.nullcontext())
+
         @jax.jit
         def dit_fwd(dp):
-            return dit_m.dit_forward(dp, dit_cfg, img=xt, img_ids=img_ids,
-                                     txt=txt, txt_ids=txt_ids, timesteps=ts,
-                                     y=vec, guidance=gd)
+            with ctx():
+                return dit_m.dit_forward(dp, dit_cfg, img=xt, img_ids=img_ids,
+                                         txt=txt, txt_ids=txt_ids, timesteps=ts,
+                                         y=vec, guidance=gd)
 
         results["dit_fwd_ms"] = timeit(dit_fwd, dit_params, iters=args.iters)
 
@@ -217,9 +228,10 @@ def main():
         @jax.jit
         def dit_fwdbwd(dp):
             def loss(dp_):
-                pred = dit_m.dit_forward(dp_, dit_cfg, img=xt, img_ids=img_ids,
-                                         txt=txt, txt_ids=txt_ids, timesteps=ts,
-                                         y=vec, guidance=gd)
+                with ctx():
+                    pred = dit_m.dit_forward(dp_, dit_cfg, img=xt, img_ids=img_ids,
+                                             txt=txt, txt_ids=txt_ids, timesteps=ts,
+                                             y=vec, guidance=gd)
                 return flow.mse_loss(pred, tgt)
             return jax.grad(loss)(dp)
 

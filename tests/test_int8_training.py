@@ -1,0 +1,168 @@
+"""SwitchBack int8 linear (core.quant.switchback_linear) and the Pallas
+fused AdamW (core.pallas.adamw / train.optim.pallas_adamw_clip).
+
+SwitchBack (arXiv:2304.13013): forward + input-grad on the int8 MXU, weight
+grad in bf16.  These tests pin (a) forward ~= bf16 within dynamic-quant
+noise, (b) dW exactly matches the unquantized formula g^T x, (c) dx is the
+quantized estimate with high cosine similarity to the true dx, and (d) the
+Pallas optimizer reproduces the optax chain bit-for-bit within fp tolerance
+across several steps, including the global-norm clip path.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from genhancer_tpu.core import nn, quant
+from genhancer_tpu.core.pallas import adamw as adamw_k
+
+adamw_k._INTERPRET = True
+
+
+class TestSwitchback:
+    def _setup(self, m=33, k=256, n=192, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(n, k)) * 0.05, jnp.float32)
+        return x, w
+
+    def test_forward_close_to_exact(self):
+        x, w = self._setup()
+        y = quant.switchback_linear(x, w)
+        ref = x @ w.T
+        rel = np.abs(np.asarray(y - ref)) / (np.abs(np.asarray(ref)).mean() + 1e-6)
+        assert rel.mean() < 0.02, rel.mean()
+
+    def test_dw_exact_dx_close(self):
+        x, w = self._setup(seed=1)
+        g_out = jnp.asarray(np.random.default_rng(2).normal(
+            size=(x.shape[0], w.shape[0])), jnp.float32)
+
+        def f(x_, w_):
+            return jnp.sum(quant.switchback_linear(x_, w_) * g_out)
+
+        dx, dw = jax.grad(f, argnums=(0, 1))(x, w)
+        # dW is the bf16/f32 path: exactly g^T x (no quantization)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(g_out.T @ x),
+                                   rtol=1e-5, atol=1e-5)
+        # dx is int8-quantized: check direction, not bits
+        dx_true = np.asarray(g_out @ w)
+        dxn = np.asarray(dx).ravel()
+        cos = float(dxn @ dx_true.ravel()
+                    / (np.linalg.norm(dxn) * np.linalg.norm(dx_true.ravel()) + 1e-12))
+        assert cos > 0.999, cos
+        rel = np.abs(dxn - dx_true.ravel()).mean() / (np.abs(dx_true).mean() + 1e-12)
+        assert rel < 0.03, rel
+
+    def test_ctx_routes_large_linears_only(self):
+        rng = np.random.default_rng(3)
+        big = {"weight": jnp.asarray(rng.normal(size=(512, 512)) * 0.05, jnp.float32)}
+        small = {"weight": jnp.asarray(rng.normal(size=(64, 512)) * 0.05, jnp.float32)}
+        x = jnp.asarray(rng.normal(size=(8, 512)), jnp.float32)
+        exact_big = x @ big["weight"].T
+        exact_small = x @ small["weight"].T
+        with nn.int8_training_ctx(min_dim=512):
+            y_big = nn.linear(big, x)
+            y_small = nn.linear(small, x)
+        # outside the ctx: exact again
+        y_big_out = nn.linear(big, x)
+        assert not np.allclose(np.asarray(y_big), np.asarray(exact_big), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(y_small), np.asarray(exact_small),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y_big_out), np.asarray(exact_big),
+                                   rtol=1e-5, atol=1e-5)
+        rel = np.abs(np.asarray(y_big - exact_big)).mean() / (
+            np.abs(np.asarray(exact_big)).mean() + 1e-12)
+        assert rel < 0.02, rel
+
+    def test_dit_int8_step_trains_and_tracks_bf16(self):
+        """flux-debug stage-1 with dit_quant=int8: finite loss, close to the
+        unquantized loss on the same batch/key."""
+        from genhancer_tpu.tasks import image as image_task
+        from genhancer_tpu.models import dit as dit_m, vae as vae_m
+        from genhancer_tpu.models.towers import clip as clip_m
+        from genhancer_tpu.train import optim
+        from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+
+        tower_cfg = clip_m.CLIPConfig(
+            vision=clip_m.CLIPVisionConfig(hidden_size=64, intermediate_size=128,
+                                           num_layers=2, num_heads=2,
+                                           image_size=28, patch_size=14),
+            text=clip_m.CLIPTextConfig(hidden_size=64, intermediate_size=128,
+                                       num_layers=1, num_heads=2, vocab_size=50,
+                                       max_position_embeddings=8),
+            projection_dim=64)
+
+        opt = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        batch = {"image": jnp.asarray(
+            np.random.default_rng(0).random((2, 32, 32, 3), np.float32))}
+
+        losses = {}
+        for q in ("none", "int8"):
+            spec = image_task.TaskSpec(
+                stage="stage1", tower_kind="clip", img_size=32,
+                clip_image_size=28, dit_cfg=dit_m.DIT_CONFIGS["flux-debug"],
+                vae_cfg=vae_m.VAE_CONFIGS["flux-debug"], tower_cfg=tower_cfg,
+                compute_dtype=jnp.float32, dit_param_dtype=jnp.float32,
+                dit_quant=q)
+            state = image_task.create_task_state(jax.random.key(0), spec, opt)
+            step = image_task.make_train_step(spec, opt)
+            state, m = step(state, batch, jax.random.key(7))
+            losses[q] = float(m["loss"])
+            assert np.isfinite(losses[q])
+        # flux-debug linears are 256-wide < the 512 gate, so the int8 ctx is
+        # a no-op there — identical loss proves the plumbing is inert when no
+        # layer qualifies.
+        assert losses["int8"] == pytest.approx(losses["none"], rel=1e-6)
+
+
+class TestPallasAdamW:
+    def _tree(self, seed=0):
+        rng = np.random.default_rng(seed)
+        return {
+            # pallas path: size % 1024 == 0, >= 8 tiles
+            "w1": jnp.asarray(rng.normal(size=(32, 1024)) * 0.1, jnp.float32),
+            # bf16 leaf on the pallas path
+            "w2": jnp.asarray(rng.normal(size=(16, 2048)) * 0.1, jnp.bfloat16),
+            # xla fallback path (odd size)
+            "b": jnp.asarray(rng.normal(size=(37,)) * 0.1, jnp.float32),
+        }
+
+    def _grads(self, params, seed):
+        rng = np.random.default_rng(seed)
+        return jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), p.dtype), params)
+
+    @pytest.mark.parametrize("gscale", [1.0, 50.0])  # no-clip and clip regimes
+    def test_matches_optax_chain(self, gscale):
+        from genhancer_tpu.train.optim import pallas_adamw_clip
+        from genhancer_tpu.train.state import TrainState, apply_gradients
+
+        schedule = optax.constant_schedule(1e-3)
+        kw = dict(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+        ours = pallas_adamw_clip(schedule, max_grad_norm=1.0, **kw)
+        ref = optax.chain(optax.clip_by_global_norm(1.0),
+                          optax.adamw(learning_rate=schedule, **kw))
+
+        p_ours = self._tree()
+        p_ref = self._tree()
+        st_ours = TrainState(trainable=p_ours, frozen={},
+                             opt_state=ours.init(p_ours),
+                             step=jnp.zeros((), jnp.int32))
+        st_ref = TrainState(trainable=p_ref, frozen={},
+                            opt_state=ref.init(p_ref),
+                            step=jnp.zeros((), jnp.int32))
+
+        for i in range(4):
+            g = jax.tree_util.tree_map(
+                lambda x: x * gscale, self._grads(p_ours, 100 + i))
+            st_ours = apply_gradients(st_ours, g, ours)
+            st_ref = apply_gradients(st_ref, g, ref)
+
+        for k in p_ours:
+            a = np.asarray(st_ours.trainable[k], np.float32)
+            b = np.asarray(st_ref.trainable[k], np.float32)
+            tol = 2e-2 if st_ours.trainable[k].dtype == jnp.bfloat16 else 2e-5
+            np.testing.assert_allclose(a, b, rtol=tol, atol=tol,
+                                       err_msg=f"leaf {k} gscale {gscale}")
