@@ -29,6 +29,7 @@ import numpy as np
 from ..parallel import mesh as mesh_m
 from ..tasks import factory
 from ..train import checkpoint as ckpt
+from ..train.async_ckpt import AsyncCheckpointer
 from ..train import optim
 from ..train.step_utils import make_accum_train_step, stack_microbatches
 from ..data.prefetch import DevicePrefetcher
@@ -115,6 +116,8 @@ class Trainer:
                         bs + (-bs) % n)
         self.mesh = mesh_m.make_mesh(n)
         self.is_main = jax.process_index() == 0
+        self.ckpt_writer = AsyncCheckpointer(
+            enabled=bool(cfg.get("async_checkpointing", True)))
 
         (self.spec, (tower_params, vae_params), self.loader,
          make_step, create_state, self.ckpt_kind) = factory.build_task(cfg)
@@ -227,20 +230,23 @@ class Trainer:
     def _checkpoint(self, step: int) -> None:
         if not self.is_main:
             return
-        ckpt.save_stage1(self.state, self.output_dir, step, self.ckpt_kind)
-        if self.spec.stage.startswith("stage2"):
-            out = os.path.join(self.output_dir, hf_export_name(self.cfg, step))
-            base_cfg = (self.spec.tower_cfg.to_hf()
-                        if hasattr(self.spec.tower_cfg, "to_hf") else None)
-            ckpt.export_hf_tower(self.state, out,
-                                 base_config=base_cfg,
-                                 base_model_dir=self.cfg.get_path("clip_config.model_dir"))
-        limit = int(self.cfg.get("checkpoints_total_limit") or 0)
-        if limit:
-            pruned = ckpt.prune_checkpoints(self.output_dir, limit)
-            if pruned:
-                log.info("pruned old checkpoints: %s", pruned)
-        log.info("saved checkpoint at step %d", step)
+        def write(state):
+            ckpt.save_stage1(state, self.output_dir, step, self.ckpt_kind)
+            if self.spec.stage.startswith("stage2"):
+                out = os.path.join(self.output_dir, hf_export_name(self.cfg, step))
+                base_cfg = (self.spec.tower_cfg.to_hf()
+                            if hasattr(self.spec.tower_cfg, "to_hf") else None)
+                ckpt.export_hf_tower(state, out,
+                                     base_config=base_cfg,
+                                     base_model_dir=self.cfg.get_path("clip_config.model_dir"))
+            limit = int(self.cfg.get("checkpoints_total_limit") or 0)
+            if limit:
+                pruned = ckpt.prune_checkpoints(self.output_dir, limit)
+                if pruned:
+                    log.info("pruned old checkpoints: %s", pruned)
+            log.info("saved checkpoint at step %d", step)
+
+        self.ckpt_writer.save(self.state, write)
 
     # -- loop --------------------------------------------------------------
 
@@ -314,6 +320,7 @@ class Trainer:
 
         if step > 0 and self.is_main and getattr(self, "_last_saved", None) != step:
             self._checkpoint(step)
+        self.ckpt_writer.close()  # drain async writes before returning
         self.writer.close()
         return metrics_out
 

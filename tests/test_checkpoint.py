@@ -122,3 +122,61 @@ class TestPruning:
         st, _ = state
         C2.save_stage1(st, str(tmp_path), 1, "image")
         assert C2.prune_checkpoints(str(tmp_path), 5) == []
+
+
+class TestAsyncCheckpointer:
+    """Async writer (VERDICT r1 #6): identical artifacts to sync, drained on
+    wait/close, writer exceptions surface in the caller."""
+
+    def test_async_matches_sync_artifacts(self, tmp_path, state):
+        from genhancer_tpu.train.async_ckpt import AsyncCheckpointer
+        st, _ = state
+        sync_dir, async_dir = str(tmp_path / "s"), str(tmp_path / "a")
+        C.save_stage1(st, sync_dir, 5, "image")
+
+        ck = AsyncCheckpointer(enabled=True)
+        ck.save(st, lambda snap: C.save_stage1(snap, async_dir, 5, "image"))
+        ck.close()
+
+        names = sorted(os.listdir(sync_dir))
+        assert names == sorted(os.listdir(async_dir)) and names
+        from genhancer_tpu.weights.torch_io import load_torch_state_dict
+        for n in names:
+            sa = load_torch_state_dict(os.path.join(sync_dir, n))
+            sb = load_torch_state_dict(os.path.join(async_dir, n))
+            assert sa.keys() == sb.keys()
+            for k in sa:
+                np.testing.assert_array_equal(np.asarray(sa[k]), np.asarray(sb[k]))
+
+    def test_bounded_inflight_and_order(self, tmp_path, state):
+        """A second save drains the first: writes land in submission order."""
+        from genhancer_tpu.train.async_ckpt import AsyncCheckpointer
+        st, _ = state
+        order = []
+        ck = AsyncCheckpointer(enabled=True)
+        ck.save(st, lambda _s: order.append(1))
+        ck.save(st, lambda _s: order.append(2))
+        ck.close()
+        assert order == [1, 2]
+
+    def test_writer_exception_surfaces(self, state):
+        from genhancer_tpu.train.async_ckpt import AsyncCheckpointer
+        st, _ = state
+
+        def boom(_snap):
+            raise IOError("disk full")
+
+        ck = AsyncCheckpointer(enabled=True)
+        ck.save(st, boom)
+        with pytest.raises(IOError, match="disk full"):
+            ck.wait()
+        ck.close()
+
+    def test_sync_mode_inline(self, state):
+        from genhancer_tpu.train.async_ckpt import AsyncCheckpointer
+        st, _ = state
+        ran = []
+        ck = AsyncCheckpointer(enabled=False)
+        ck.save(st, lambda _s: ran.append(True))
+        assert ran == [True]  # ran before save() returned
+        ck.close()
