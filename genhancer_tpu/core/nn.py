@@ -51,14 +51,19 @@ _INT8_TRAIN_CTX = threading.local()
 
 
 @contextlib.contextmanager
-def int8_training_ctx(min_dim: int = 512):
-    """Route linears with min(out, in) >= min_dim through switchback int8."""
-    prev = getattr(_INT8_TRAIN_CTX, "min_dim", None)
+def int8_training_ctx(min_dim: int = 512, full: bool = False):
+    """Route linears with min(out, in) >= min_dim through switchback int8.
+
+    ``full=True`` selects the experimental full-int8 variant (dW also on the
+    int8 MXU, per-channel scales — quant.switchback_linear_full)."""
+    prev = (getattr(_INT8_TRAIN_CTX, "min_dim", None),
+            getattr(_INT8_TRAIN_CTX, "full", False))
     _INT8_TRAIN_CTX.min_dim = int(min_dim)
+    _INT8_TRAIN_CTX.full = bool(full)
     try:
         yield
     finally:
-        _INT8_TRAIN_CTX.min_dim = prev
+        _INT8_TRAIN_CTX.min_dim, _INT8_TRAIN_CTX.full = prev
 
 
 @contextlib.contextmanager
@@ -118,8 +123,11 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
         w = p["weight"].astype(x.dtype)
         sb_min = getattr(_INT8_TRAIN_CTX, "min_dim", None)
         if sb_min is not None and min(w.shape) >= sb_min:
-            from .quant import switchback_linear
-            y = switchback_linear(x, w)
+            from .quant import switchback_linear, switchback_linear_full
+            sb = (switchback_linear_full
+                  if getattr(_INT8_TRAIN_CTX, "full", False)
+                  else switchback_linear)
+            y = sb(x, w)
         else:
             y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
                                     preferred_element_type=x.dtype)

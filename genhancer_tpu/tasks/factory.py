@@ -113,7 +113,10 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   tower_quant=(cfg.get("tower_quant", "none")
                                if str(cfg.get("task", "")).endswith("stage1")
                                else "none"),
-                  vae_quant=cfg.get("vae_quant", "none"))
+                  vae_quant=cfg.get("vae_quant", "none"),
+                  # SwitchBack int8 DiT training (core.quant): "int8" (bf16
+                  # dW) or "int8_full" (experimental int8 dW)
+                  dit_quant=cfg.get("dit_quant", "none"))
 
     data_kwargs = dict(dc)
     data_kwargs.pop("img_size", None)

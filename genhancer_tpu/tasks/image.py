@@ -63,8 +63,10 @@ class TaskSpec:
     tower_quant: str = "none"         # "none" | "int8"
     vae_quant: str = "none"           # "none" | "int8"
     # SwitchBack int8 training for the (trainable) DiT: int8 fwd + int8 dx,
-    # bf16 dW (core.quant.switchback_linear, arXiv:2304.13013).
-    dit_quant: str = "none"           # "none" | "int8"
+    # bf16 dW (core.quant.switchback_linear, arXiv:2304.13013).  "int8_full"
+    # additionally runs dW on the int8 MXU with per-channel scales
+    # (experimental, Jetfire-style INT8 data flow).
+    dit_quant: str = "none"           # "none" | "int8" | "int8_full"
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -168,7 +170,8 @@ def make_loss_fn(spec: TaskSpec):
         guidance = jnp.full((b,), spec.guidance, spec.compute_dtype)
 
         from ..core.nn import int8_training_ctx
-        with (int8_training_ctx() if spec.dit_quant == "int8"
+        with (int8_training_ctx(full=spec.dit_quant == "int8_full")
+              if spec.dit_quant in ("int8", "int8_full")
               else contextlib.nullcontext()):
             pred = dit_m.dit_forward(
                 params["dit"], spec.dit_cfg,

@@ -76,6 +76,7 @@ class VideoTaskSpec:
     vae_dtype: object = jnp.float32          # fp32 = reference parity; bf16 = faster
     tower_quant: str = "none"                # int8 frozen tower (stage 1)
     vae_quant: str = "none"                  # int8 encoder convs
+    dit_quant: str = "none"                  # switchback int8 DiT training
 
     @property
     def n_cond(self) -> int:
@@ -197,12 +198,17 @@ def make_loss_fn(spec: VideoTaskSpec):
         xt = flow.interpolate(x1, x0, t)
         guidance = jnp.full((b,), spec.guidance, spec.compute_dtype)
 
-        pred = dit_m.dit_forward(
-            params["dit"], spec.dit_cfg,
-            img=xt.astype(spec.compute_dtype), img_ids=dit_in["img_ids"],
-            txt=dit_in["txt"].astype(spec.compute_dtype), txt_ids=dit_in["txt_ids"],
-            timesteps=t.astype(spec.compute_dtype),
-            y=dit_in["vec"], guidance=guidance, remat=spec.remat)
+        import contextlib
+        from ..core.nn import int8_training_ctx
+        with (int8_training_ctx(full=spec.dit_quant == "int8_full")
+              if spec.dit_quant in ("int8", "int8_full")
+              else contextlib.nullcontext()):
+            pred = dit_m.dit_forward(
+                params["dit"], spec.dit_cfg,
+                img=xt.astype(spec.compute_dtype), img_ids=dit_in["img_ids"],
+                txt=dit_in["txt"].astype(spec.compute_dtype), txt_ids=dit_in["txt_ids"],
+                timesteps=t.astype(spec.compute_dtype),
+                y=dit_in["vec"], guidance=guidance, remat=spec.remat)
 
         return flow.mse_loss(pred, flow.velocity_target(x1, x0), mask=valid)
 

@@ -40,18 +40,26 @@ def _mm_kernel(x_ref, w_ref, o_ref):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def mm_bf16(x, w, bm, bn):
+def mm_bf16(x, w, bm, bn, order="mn"):
     M, K = x.shape
     N = w.shape[1]
+    if order == "mn":   # x-resident: j (N) innermost
+        grid = (M // bm, N // bn)
+        xmap, wmap, omap = (lambda i, j: (i, 0), lambda i, j: (0, j),
+                            lambda i, j: (i, j))
+    else:               # w-resident: i (M) innermost
+        grid = (N // bn, M // bm)
+        xmap, wmap, omap = (lambda j, i: (i, 0), lambda j, i: (0, j),
+                            lambda j, i: (i, j))
     return pl.pallas_call(
         _mm_kernel,
-        grid=(M // bm, N // bn),
-        in_specs=[pl.BlockSpec((bm, K), lambda i, j: (i, 0)),
-                  pl.BlockSpec((K, bn), lambda i, j: (0, j))],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((bm, K), xmap),
+                  pl.BlockSpec((K, bn), wmap)],
+        out_specs=pl.BlockSpec((bm, bn), omap),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary")),
     )(x, w)
 
 
@@ -127,6 +135,7 @@ def main():
     ap.add_argument("--bm", type=int, default=512)
     ap.add_argument("--bn", type=int, default=1024)
     ap.add_argument("--which", type=str, default="bf16,int8,int8q")
+    ap.add_argument("--order", type=str, default="mn", choices=["mn", "nm"])
     args = ap.parse_args()
     M, K, N = args.m, args.k, args.n
     # pad M to bm multiple
@@ -145,12 +154,12 @@ def main():
         @jax.jit
         def loop_bf16(x, w):
             def body(i, c):
-                y = mm_bf16(c, w, args.bm, args.bn)
+                y = mm_bf16(c, w, args.bm, args.bn, args.order)
                 return y[:, :K] * jnp.bfloat16(0.1) if N != K else y * jnp.bfloat16(0.1)
             return jax.lax.fori_loop(0, REPS, body, x)
 
         t = timed(loop_bf16, x, w)
-        print(f"pallas bf16 [{Mp}x{K}x{N}] bm={args.bm} bn={args.bn}: "
+        print(f"pallas bf16 {args.order} [{Mp}x{K}x{N}] bm={args.bm} bn={args.bn}: "
               f"{t:.3f} ms  {flops/t*1e3/197e12*100:.1f}% bf16 peak", flush=True)
 
     if "int8" in which:

@@ -45,7 +45,7 @@ def main():
     ap.add_argument("--optimizer", type=str, default="chained",
                     choices=["fused", "chained", "pallas"])
     ap.add_argument("--dit-quant", type=str, default="none",
-                    choices=["none", "int8"])
+                    choices=["none", "int8", "int8_full"])
     args = ap.parse_args()
 
     from genhancer_tpu.models import dit as dit_m
@@ -211,8 +211,8 @@ def main():
         from genhancer_tpu.core.nn import int8_training_ctx
 
         def ctx():
-            return (int8_training_ctx() if args.dit_quant == "int8"
-                    else contextlib.nullcontext())
+            return (int8_training_ctx(full=args.dit_quant == "int8_full")
+                    if args.dit_quant != "none" else contextlib.nullcontext())
 
         @jax.jit
         def dit_fwd(dp):

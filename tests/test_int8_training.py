@@ -166,3 +166,104 @@ class TestPallasAdamW:
             tol = 2e-2 if st_ours.trainable[k].dtype == jnp.bfloat16 else 2e-5
             np.testing.assert_allclose(a, b, rtol=tol, atol=tol,
                                        err_msg=f"leaf {k} gscale {gscale}")
+
+
+class TestSwitchbackFull:
+    """int8 dW variant: per-channel scale factoring is exact; dW tracks the
+    true g^T x closely in direction and magnitude."""
+
+    def _setup(self, m=64, k=256, n=192, seed=5):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(n, k)) * 0.05, jnp.float32)
+        g = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+        return x, w, g
+
+    def test_forward_matches_switchback(self):
+        x, w, _ = self._setup()
+        np.testing.assert_array_equal(
+            np.asarray(quant.switchback_linear_full(x, w)),
+            np.asarray(quant.switchback_linear(x, w)))
+
+    def test_dw_int8_close_to_exact(self):
+        x, w, g = self._setup()
+
+        def f(x_, w_):
+            return jnp.sum(quant.switchback_linear_full(x_, w_) * g)
+
+        dx, dw = jax.grad(f, argnums=(0, 1))(x, w)
+        dw_true = np.asarray(g.T @ x)
+        dwn = np.asarray(dw)
+        cos = float(dwn.ravel() @ dw_true.ravel()
+                    / (np.linalg.norm(dwn) * np.linalg.norm(dw_true) + 1e-12))
+        assert cos > 0.999, cos
+        rel = np.abs(dwn - dw_true).mean() / (np.abs(dw_true).mean() + 1e-12)
+        assert rel < 0.03, rel
+
+    def test_dx_scale_folding_matches_direct_quant_error_level(self):
+        """The bwd reuses the fwd's axis-0 quantized W by folding ws into g;
+        the dx error must stay at dynamic-quant levels vs the true g @ W."""
+        for sb in (quant.switchback_linear, quant.switchback_linear_full):
+            x, w, g = self._setup(seed=7)
+
+            def f(x_):
+                return jnp.sum(sb(x_, w) * g)
+
+            dx = jax.grad(f)(x)
+            dx_true = np.asarray(g @ w)
+            rel = (np.abs(np.asarray(dx) - dx_true).mean()
+                   / (np.abs(dx_true).mean() + 1e-12))
+            assert rel < 0.03, (sb.__name__, rel)
+
+    def test_int8_full_loss_tracks_bf16_over_steps(self):
+        """flux-debug DiT params lowered to 512-wide? flux-debug linears are
+        256-wide so the ctx gate (512) never fires; instead drive the ctx
+        directly over a small 2-layer MLP regression and check the loss
+        curves of exact vs int8 vs int8_full stay close over 60 steps."""
+        import optax
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(rng.normal(size=(256, 512)), jnp.float32)
+        w_true = rng.normal(size=(512, 512)) * 0.05
+        ys = jnp.asarray(xs @ w_true.T + 0.01 * rng.normal(size=(256, 512)),
+                         jnp.float32)
+
+        def init():
+            return {
+                "l1": {"weight": jnp.asarray(rng.normal(size=(512, 512)) * 0.03,
+                                             jnp.float32)},
+                "l2": {"weight": jnp.asarray(rng.normal(size=(512, 512)) * 0.03,
+                                             jnp.float32)},
+            }
+
+        def run(mode):
+            params = init()
+            opt = optax.adam(1e-3)
+            ost = opt.init(params)
+
+            def loss_fn(p):
+                import contextlib
+                ctx = (nn.int8_training_ctx(full=mode == "full")
+                       if mode != "none" else contextlib.nullcontext())
+                with ctx:
+                    h = jax.nn.gelu(nn.linear(p["l1"], xs))
+                    out = nn.linear(p["l2"], h)
+                return jnp.mean((out - ys) ** 2)
+
+            @jax.jit
+            def step(p, o):
+                l, g = jax.value_and_grad(loss_fn)(p)
+                u, o = opt.update(g, o, p)
+                return optax.apply_updates(p, u), o, l
+
+            losses = []
+            for _ in range(60):
+                params, ost, l = step(params, ost)
+                losses.append(float(l))
+            return losses
+
+        ref = run("none")
+        for mode in ("int8", "full"):
+            got = run(mode)
+            # same order of magnitude, same downward trajectory
+            assert got[-1] < ref[0] * 0.8, (mode, got[-1], ref[0])
+            assert abs(got[-1] - ref[-1]) / ref[-1] < 0.15, (mode, got[-1], ref[-1])
