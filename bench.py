@@ -3,9 +3,11 @@
 
 Measures the full reference stage-1 hot loop (SURVEY.md §3.1) on one chip:
 frozen FLUX-VAE encode + frozen CLIP-L/14-224 forward + projectors + flux-dev
-DiT (2 double + 4 single blocks, 3072 hidden, bf16) forward/backward + AdamW —
+DiT (2 double + 4 single blocks, 3072 hidden) forward/backward + AdamW —
 all inside a single jit, random weights (the DiT is always random-init in the
-reference, and throughput is weight-independent).
+reference, and throughput is weight-independent).  Runs the shipped TPU-fast
+configuration by default: int8 frozen conditioning + SwitchBack int8 DiT
+training (see `quant` below); BENCH_QUANT=none for bf16 reference parity.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
@@ -88,6 +90,14 @@ def main():
     batch = int(os.environ.get("BENCH_BS", "32"))
     img_size = int(os.environ.get("BENCH_IMG", "224"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # The shipped TPU-fast stage-1 configuration (configs/tpu_fast_stage1
+    # knobs): int8 frozen tower + VAE (weight-static/activation-dynamic,
+    # core/quant.py) and SwitchBack int8 DiT training (int8 fwd + dx, bf16
+    # dW, arXiv:2304.13013).  Measured conditioning drift ~2% of feature
+    # std and latent drift ~3% of latent std (scripts/perf_probe.py), with
+    # loss trajectories tracking exact arithmetic (tests/test_int8_training).
+    # BENCH_QUANT=none benches the bf16 reference-parity path instead.
+    quant = os.environ.get("BENCH_QUANT", "int8")
 
     from genhancer_tpu.models import dit as dit_m
     from genhancer_tpu.models import vae as vae_m
@@ -105,7 +115,10 @@ def main():
         clip_image_size=224, dit_cfg=dit_cfg, vae_cfg=vae_cfg,
         tower_cfg=tower_cfg, clip_dim=768, t5_dim=4096,
         compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16,
-        vae_dtype=jnp.bfloat16)   # trainer default (factory.build_task)
+        vae_dtype=jnp.bfloat16,   # trainer default (factory.build_task)
+        tower_quant=("int8" if quant == "int8" else "none"),
+        vae_quant=("int8" if quant == "int8" else "none"),
+        dit_quant=("int8" if quant == "int8" else "none"))
 
     cfg = Config(dict(TRAIN_DEFAULTS))
     optimizer = optim.make_optimizer(cfg)
