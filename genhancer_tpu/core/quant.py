@@ -28,8 +28,11 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_weight(w: jax.Array, axis: int = 1):
-    """[out, in] (or HWIO conv with axis=-1 as out) -> (int8, f32 scales)."""
+def quantize_weight(w: jax.Array, axis: int = 0):
+    """Per-output-channel symmetric int8: ``axis`` is the OUTPUT-channel axis
+    that keeps its own scale (0 for [out, in] linears — the default — and 3
+    for HWIO convs); all other axes are reduced for the amax.
+    Returns (int8 weights, f32 scales with the reduced axes kept at 1)."""
     reduce_axes = tuple(i for i in range(w.ndim) if i != (axis % w.ndim))
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes,
                    keepdims=True)

@@ -34,10 +34,22 @@ def maybe_initialize_distributed() -> None:
     Explicit env contract (set by the launcher, replacing the reference's
     NCCL/torch-distributed env tuning — SURVEY.md §5.8): either the standard
     auto-detected cluster envs, or GENHANCER_COORDINATOR / GENHANCER_NUM_PROCS
-    / GENHANCER_PROC_ID for manual launches."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    / GENHANCER_PROC_ID for manual launches.
+
+    Env checks come FIRST: jax.distributed.initialize must run before
+    anything (including jax.process_count()) initializes the XLA backends,
+    or it raises.  Single-host launches never touch jax here."""
     coord = os.environ.get("GENHANCER_COORDINATOR")
+    if not coord and not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    if jax.distributed.is_initialized():
+        return  # e.g. a test harness already joined the cluster
+    from jax._src import xla_bridge
+    if getattr(xla_bridge, "backends_are_initialized", lambda: False)():
+        raise RuntimeError(
+            "multi-host env (GENHANCER_COORDINATOR/JAX_COORDINATOR_ADDRESS) "
+            "is set but the XLA backend was already initialized single-host; "
+            "call maybe_initialize_distributed() before any other JAX use")
     if coord:
         jax.distributed.initialize(
             coordinator_address=coord,

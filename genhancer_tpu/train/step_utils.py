@@ -49,7 +49,31 @@ def make_accum_train_step(loss_fn, optimizer, accum_steps: int):
 
 
 def stack_microbatches(batches):
-    """List of host batches (array leaves only) -> stacked pytree."""
+    """List of host batches (array leaves only) -> stacked pytree.
+
+    Microbatches in one accumulation group can disagree at epoch
+    boundaries: a padded partial final batch may be smaller than the others
+    and may carry a ``valid`` mask the full batches lack.  Normalize before
+    stacking — synthesize all-True masks where missing and pad every leaf
+    (mask rows False) up to the group's max batch size — so the mask is
+    never silently dropped and ``np.stack`` never sees ragged shapes."""
     import numpy as np
-    keys = batches[0].keys()
-    return {k: np.stack([b[k] for b in batches]) for k in keys}
+    keys = set().union(*(b.keys() for b in batches))
+    sizes = [next(iter(b.values())).shape[0] for b in batches]
+    bmax = max(sizes)
+    ragged = len(set(sizes)) > 1
+    need_valid = ragged or any("valid" in b for b in batches)
+    norm = []
+    for b, n in zip(batches, sizes):
+        bb = dict(b)
+        if need_valid and "valid" not in bb:
+            bb["valid"] = np.ones((n,), bool)
+        missing = keys - set(bb) - {"valid"}
+        if missing:
+            raise ValueError(f"microbatch missing keys {sorted(missing)}")
+        if n < bmax:
+            for k, v in bb.items():
+                pad = np.zeros((bmax - n,) + v.shape[1:], v.dtype)
+                bb[k] = np.concatenate([v, pad], axis=0)
+        norm.append(bb)
+    return {k: np.stack([b[k] for b in norm]) for k in (keys | ({"valid"} if need_valid else set()))}

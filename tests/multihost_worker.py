@@ -26,11 +26,17 @@ def main():
         f"{flags} --xla_force_host_platform_device_count={local_devices}").strip()
     os.environ.setdefault("GENHANCER_PALLAS_ATTN", "0")
 
+    if nprocs > 1:
+        # production env contract: maybe_initialize_distributed must join the
+        # cluster from these envs BEFORE any backend-initializing jax call
+        os.environ["GENHANCER_COORDINATOR"] = f"localhost:{port}"
+        os.environ["GENHANCER_NUM_PROCS"] = str(nprocs)
+        os.environ["GENHANCER_PROC_ID"] = str(proc_id)
+
     import jax
     jax.config.update("jax_platforms", "cpu")
-    if nprocs > 1:
-        jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                                   num_processes=nprocs, process_id=proc_id)
+    from genhancer_tpu.parallel import mesh as _mesh
+    _mesh.maybe_initialize_distributed()
     assert jax.device_count() == 8, jax.device_count()
 
     import jax.numpy as jnp
