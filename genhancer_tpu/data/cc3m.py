@@ -26,10 +26,11 @@ class CC3MLoader:
                  img_size: int = 224, seed: int = 0, patch_size: int = 1,
                  shuffle_buffer: int = 2000, train: bool = True,
                  node_index: int = 0, node_count: int = 1, repeat: bool = True,
-                 **_unused):
+                 precomputed: bool = False, **_unused):
         self.batch_size = train_batch_size
         self.img_size = img_size
         self.train = train
+        self.precomputed = precomputed
         self.num_workers = max(1, num_workers)
         self.rng = np.random.default_rng(seed)
         self.stream = ShardStream(img_dir, node_index=node_index,
@@ -90,7 +91,36 @@ class CC3MLoader:
         if images:
             yield self._batch(images, texts)
 
+    def _iter_precomputed(self) -> Iterator[Dict]:
+        """Batches from .feat.npz shards (data.precompute): {moments, cls} —
+        the task loss skips the frozen VAE/tower for these."""
+        from .precompute import load_feat
+        moments, cls, texts = [], [], []
+        for sample in self.stream:
+            blob = sample.get("feat.npz")
+            if blob is None:
+                continue
+            try:
+                feats = load_feat(blob)
+            except Exception:
+                continue
+            moments.append(feats["moments"])
+            cls.append(feats["cls"])
+            t = sample.get("txt", b"")
+            texts.append(t.decode("utf-8", "replace")
+                         if isinstance(t, bytes) else str(t))
+            if len(moments) == self.batch_size:
+                yield {"moments": np.stack(moments), "cls": np.stack(cls),
+                       "text": list(texts)}
+                moments, cls, texts = [], [], []
+        if moments:
+            yield {"moments": np.stack(moments), "cls": np.stack(cls),
+                   "text": list(texts)}
+
     def __iter__(self) -> Iterator[Dict]:
+        if self.precomputed:
+            yield from self._iter_precomputed()
+            return
         from . import native_decode as nd
         if nd.available():
             yield from self._iter_native()

@@ -1,0 +1,212 @@
+"""Precomputed conditioning: cache the frozen stage-1 compute to shards.
+
+Stage-1 trains only the projectors + DiT; the VAE encoder and the tower are
+frozen, yet the reference recomputes them on every step of every epoch
+(``train_OpenAICLIP_video_stage1.py:370-438``).  Video schedules make many
+passes over a small corpus (626 steps x 32 samples over a few hundred
+videos), so this module runs the frozen paths ONCE over a dataset and
+writes webdataset-style shards of per-frame features; the loaders then
+assemble training samples from cached features and the task loss skips the
+VAE/tower entirely (tasks/image.py, tasks/video.py branch on batch keys).
+
+Exactness: the cache stores the VAE posterior **moments** (mean/logvar), not
+a sampled latent — the per-step sampling noise is still drawn fresh on
+device from the step PRNG, so the training distribution is bit-identical to
+the inline path (video frames use the deterministic resize transform).
+Image mode center-crops instead of RandomResizedCrop — a documented
+augmentation trade (the standard latent-caching compromise); video modes
+have no augmentation to lose.
+
+Format: per frame (video) ``{video_key}/{frame}.feat.npz`` with arrays
+``moments`` [h, w, 2z] f32, ``patches`` [L_p, D] bf16-as-f16, ``vec`` [P]
+f32; per image ``{key}.feat.npz`` with ``moments``, ``cls`` (plus the
+original ``txt`` member passed through).  Tower features are pre-projection
+(frozen tower only — stage-2, which trains the tower, must not use a cache
+and the factory rejects the combination).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import vae as vae_m
+from ..tasks.conditioning import normalize, tower_stats, tower_features, VAE_MEAN, VAE_STD
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def load_feat(blob: bytes) -> Dict[str, np.ndarray]:
+    with np.load(io.BytesIO(blob)) as z:
+        return {k: z[k] for k in z.files}
+
+
+class ShardWriter:
+    """Rotating tar writer (``pre-%06d.tar`` every ``samples_per_shard``)."""
+
+    def __init__(self, out_dir: str, samples_per_shard: int = 1000,
+                 prefix: str = "pre"):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.per_shard = samples_per_shard
+        self.prefix = prefix
+        self.count = 0
+        self.shard_idx = 0
+        self.tf: Optional[tarfile.TarFile] = None
+
+    def _roll(self):
+        if self.tf is not None:
+            self.tf.close()
+        path = os.path.join(self.out_dir,
+                            f"{self.prefix}-{self.shard_idx:06d}.tar")
+        self.tf = tarfile.open(path, "w")
+        self.shard_idx += 1
+
+    def add(self, name: str, data: bytes):
+        if self.tf is None or (self.count and self.count % self.per_shard == 0):
+            self._roll()
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        self.tf.addfile(info, io.BytesIO(data))
+        self.count += 1
+
+    def close(self):
+        if self.tf is not None:
+            self.tf.close()
+            self.tf = None
+
+
+def make_frozen_fn(tower_kind: str, tower_params, tower_cfg, vae_params,
+                   vae_cfg, *, vae_dtype=jnp.float32,
+                   compute_dtype=jnp.bfloat16, with_patches: bool):
+    """jitted pixels [B, H, W, 3] in [0,1] -> frozen features.
+
+    Returns moments (pre-sampling VAE posterior) + tower outputs: ``cls``
+    (projected class token) always; ``patches`` too when ``with_patches``
+    (video conditioning needs them).
+
+    Params are jit ARGUMENTS (partial-ed in after tracing), never closures —
+    a closed-over param tree would be lowered as MLIR constants, which both
+    bloats the module and forces a device→host fetch of every weight at
+    lowering time (observed hanging for minutes over the axon relay).
+    """
+
+    @jax.jit
+    def fn(tp, vp, px01):
+        vae_in = normalize(px01, VAE_MEAN, VAE_STD).astype(vae_dtype)
+        moments = vae_m.encoder_forward(vp["encoder"], vae_cfg, vae_in)
+        mean, std = tower_stats(tower_kind)
+        tpx = normalize(px01, mean, std).astype(compute_dtype)
+        cls_tok, patches = tower_features(tower_kind, {"model": tp}, tpx,
+                                          tower_cfg)
+        out = {"moments": moments.astype(jnp.float32),
+               "cls": cls_tok.astype(jnp.float32)}
+        if with_patches:
+            out["patches"] = patches.astype(jnp.bfloat16)
+        return out
+
+    import functools
+    return functools.partial(fn, tower_params, vae_params)
+
+
+def _batched(fn, arrs: np.ndarray, batch: int) -> Dict[str, np.ndarray]:
+    """Run ``fn`` over ``arrs`` in fixed-size batches (last one padded so jit
+    sees one shape); returns stacked host arrays of the true length."""
+    n = arrs.shape[0]
+    outs = []
+    for s in range(0, n, batch):
+        chunk = arrs[s:s + batch]
+        pad = batch - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        out = fn(jnp.asarray(chunk))
+        outs.append({k: np.asarray(v)[:batch - pad] for k, v in out.items()})
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+def precompute_video_dir(video_dir, out_dir: str, frozen_fn, img_size: int,
+                         batch: int = 16, samples_per_shard: int = 2000,
+                         num_workers: int = 4) -> int:
+    """Cache every frame of every video; returns frames written.
+
+    Output frames keep their ``video_key/frame`` keys so the standard video
+    loaders (triplet/pair/2-frame/sliding) assemble samples from the cache
+    exactly as they would from pixels.
+    """
+    from .transforms import video_frame_transform
+    from .wds import ShardStream
+
+    stream = ShardStream(video_dir, shuffle_buffer=0, repeat=False,
+                         group_videos=True)
+    writer = ShardWriter(out_dir, samples_per_shard)
+    written = 0
+    for video in stream:
+        frames = video["frames"]
+        try:
+            arr = np.stack([video_frame_transform(f[1], img_size)
+                            for f in frames])
+        except Exception:
+            continue
+        feats = _batched(frozen_fn, arr, batch)
+        for i, (fkey, _) in enumerate(frames):
+            blob = _npz_bytes(
+                moments=feats["moments"][i],
+                patches=feats["patches"][i].astype(np.float16),
+                vec=feats["cls"][i])
+            writer.add(f"{fkey}.feat.npz", blob)  # fkey already carries the dir
+            written += 1
+    writer.close()
+    return written
+
+
+def precompute_image_dir(img_dir, out_dir: str, frozen_fn, img_size: int,
+                         batch: int = 32, samples_per_shard: int = 2000,
+                         num_workers: int = 4) -> int:
+    """Cache CC3M-style image shards (deterministic center-crop transform —
+    see module docstring); returns samples written."""
+    from .transforms import eval_image_transform
+    from .wds import ShardStream
+
+    stream = ShardStream(img_dir, shuffle_buffer=0, repeat=False)
+    writer = ShardWriter(out_dir, samples_per_shard)
+    written = 0
+    keys, imgs, txts = [], [], []
+
+    def flush():
+        nonlocal written
+        if not imgs:
+            return
+        feats = _batched(frozen_fn, np.stack(imgs), batch)
+        for i, k in enumerate(keys):
+            writer.add(f"{k}.feat.npz", _npz_bytes(
+                moments=feats["moments"][i], cls=feats["cls"][i]))
+            writer.add(f"{k}.txt", txts[i])
+            written += 1
+        keys.clear(), imgs.clear(), txts.clear()
+
+    for sample in stream:
+        jpg = sample.get("jpg") or sample.get("jpeg") or sample.get("png")
+        if jpg is None:
+            continue
+        try:
+            imgs.append(eval_image_transform(jpg, img_size))
+        except Exception:
+            continue
+        keys.append(sample["__key__"])
+        txts.append(sample.get("txt", b""))
+        if len(imgs) >= batch:
+            flush()
+    flush()
+    writer.close()
+    return written

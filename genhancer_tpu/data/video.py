@@ -33,10 +33,11 @@ class VideoLoaderBase:
     def __init__(self, video_dir, train_batch_size: int = 4, num_workers: int = 4,
                  img_size: int = 224, seed: int = 0, shuffle_buffer: int = 100,
                  node_index: int = 0, node_count: int = 1, repeat: bool = True,
-                 min_frames: int = 3, **_unused):
+                 min_frames: int = 3, precomputed: bool = False, **_unused):
         self.batch_size = train_batch_size
         self.img_size = img_size
         self.min_frames = min_frames
+        self.precomputed = precomputed
         self.rng = np.random.default_rng(seed)
         self.stream = ShardStream(video_dir, node_index=node_index,
                                   node_count=node_count,
@@ -59,6 +60,29 @@ class VideoLoaderBase:
         except Exception:
             return None
 
+    def _gather(self, frames: List, cond_idx: List[int],
+                target_idx: int) -> Optional[Dict]:
+        """Build one example: pixel mode -> {cond, target}; precomputed mode
+        (frames carry .feat.npz blobs from data.precompute) ->
+        {cond_patches, cond_vecs, moments} — the task loss skips the frozen
+        tower/VAE for these batches."""
+        if not self.precomputed:
+            arr = self._decode_frames(frames, cond_idx + [target_idx])
+            if arr is None:
+                return None
+            return {"cond": arr[:-1], "target": arr[-1]}
+        from .precompute import load_feat
+        try:
+            feats = [load_feat(frames[i][1]) for i in cond_idx]
+            tgt = load_feat(frames[target_idx][1])
+        except Exception:
+            return None
+        return {
+            "cond_patches": np.stack([f["patches"] for f in feats]).astype(np.float32),
+            "cond_vecs": np.stack([f["vec"] for f in feats]),
+            "moments": tgt["moments"],
+        }
+
     def select_indices(self, n_frames: int) -> Optional[List[int]]:
         raise NotImplementedError
 
@@ -69,23 +93,20 @@ class VideoLoaderBase:
         idx = self.select_indices(len(frames))
         if idx is None:
             return None
-        arr = self._decode_frames(frames, idx)
-        if arr is None:
-            return None
-        return {"cond": arr[:-1], "target": arr[-1]}
+        return self._gather(frames, idx[:-1], idx[-1])
 
     def __iter__(self) -> Iterator[Dict]:
-        conds, targets = [], []
+        pending: List[Dict] = []
         for video in self.stream:
             ex = self.sample_to_example(video)
             if ex is None:
                 continue
-            conds.append(ex["cond"])
-            targets.append(ex["target"])
-            if len(conds) == self.batch_size:
-                yield {"cond": np.stack(conds), "target": np.stack(targets),
-                       "valid": np.ones(self.batch_size, bool)}
-                conds, targets = [], []
+            pending.append(ex)
+            if len(pending) == self.batch_size:
+                out = {k: np.stack([e[k] for e in pending]) for k in pending[0]}
+                out["valid"] = np.ones(self.batch_size, bool)
+                yield out
+                pending = []
 
 
 class TripletLoader(VideoLoaderBase):
@@ -97,11 +118,7 @@ class TripletLoader(VideoLoaderBase):
         n = len(frames)
         if n < 3:
             return None
-        first, mid, last = 0, n // 2, n - 1
-        arr = self._decode_frames(frames, [first, last, mid])
-        if arr is None:
-            return None
-        return {"cond": arr[:2], "target": arr[2]}
+        return self._gather(frames, [0, n - 1], n // 2)
 
 
 class NextFrameLoader(VideoLoaderBase):
@@ -118,10 +135,7 @@ class NextFrameLoader(VideoLoaderBase):
         if n < 2:
             return None
         i = int(self.rng.integers(0, n - 1))
-        arr = self._decode_frames(frames, [i, i + 1])
-        if arr is None:
-            return None
-        return {"cond": arr[:1], "target": arr[1]}
+        return self._gather(frames, [i], i + 1)
 
 
 class TwoFrameLoader(VideoLoaderBase):
@@ -133,10 +147,7 @@ class TwoFrameLoader(VideoLoaderBase):
         n = len(frames)
         if n < 3:
             return None
-        arr = self._decode_frames(frames, [0, n // 2, n - 1])
-        if arr is None:
-            return None
-        return {"cond": arr[:2], "target": arr[2]}
+        return self._gather(frames, [0, n // 2], n - 1)
 
 
 class SlidingWindowLoader(VideoLoaderBase):
@@ -172,6 +183,23 @@ class SlidingWindowLoader(VideoLoaderBase):
                                             replace=False))
             starts = [int(s) * self.window_stride for s in starts]
         needed = sorted({s + o for s in starts for o in range(self.window_cond + 1)})
+        if self.precomputed:
+            from .precompute import load_feat
+            try:
+                feats = {f: load_feat(frames[f][1]) for f in needed}
+            except Exception:
+                return []
+            out = []
+            for s in starts:
+                cs = [feats[s + o] for o in range(self.window_cond)]
+                tgt = feats[s + self.window_cond]
+                out.append({
+                    "cond_patches": np.stack(
+                        [c["patches"] for c in cs]).astype(np.float32),
+                    "cond_vecs": np.stack([c["vec"] for c in cs]),
+                    "moments": tgt["moments"],
+                })
+            return out
         arr_all = self._decode_frames(frames, needed)
         if arr_all is None:
             return []
@@ -198,12 +226,15 @@ class SlidingWindowLoader(VideoLoaderBase):
 
     def _emit(self, windows, static_bs) -> Dict:
         n = len(windows)
-        cond = np.zeros((static_bs,) + windows[0]["cond"].shape, np.float32)
-        target = np.zeros((static_bs,) + windows[0]["target"].shape, np.float32)
+        out = {k: np.zeros((static_bs,) + np.shape(windows[0][k]),
+                           np.asarray(windows[0][k]).dtype)
+               for k in windows[0]}
         valid = np.zeros(static_bs, bool)
         for i, w in enumerate(windows):
-            cond[i], target[i], valid[i] = w["cond"], w["target"], True
-        return {"cond": cond, "target": target, "valid": valid,
+            for k, v in w.items():
+                out[k][i] = v
+            valid[i] = True
+        return {**out, "valid": valid,
                 "avg_windows_per_video": n / max(1, self.batch_size), "bs_eff": n}
 
 

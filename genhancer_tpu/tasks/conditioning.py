@@ -75,10 +75,19 @@ def image_conditioning(tower_kind: str, params, pixels01: jax.Array, tower_cfg,
     mean, std = tower_stats(tower_kind)
     px = normalize(pixels01, mean, std).astype(compute_dtype)
     cls_tok, _ = tower_features(tower_kind, params, px, tower_cfg)
+    return image_conditioning_from_cls(params, cls_tok, latent_hw,
+                                       compute_dtype=compute_dtype)
+
+
+def image_conditioning_from_cls(params, cls_tok: jax.Array, latent_hw,
+                                compute_dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+    """Projector half of image_conditioning, from a (possibly cached) tower
+    class token — the precomputed-conditioning path (data.precompute) feeds
+    this directly, skipping the frozen tower."""
     cls_tok = cls_tok.astype(compute_dtype)
     vec = projector(params["project_clip"], cls_tok)
     txt = projector(params["project_t5"], cls_tok[:, None, :])
-    b = pixels01.shape[0]
+    b = cls_tok.shape[0]
     h, w = latent_hw
     img_ids = jnp.broadcast_to(spatial_ids(h // 2, w // 2, t=0.0)[None], (b, (h // 2) * (w // 2), 3))
     txt_ids = jnp.zeros((b, 1, 3), jnp.float32)

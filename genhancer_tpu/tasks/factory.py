@@ -120,6 +120,10 @@ def build_task(cfg, key: Optional[jax.Array] = None):
 
     data_kwargs = dict(dc)
     data_kwargs.pop("img_size", None)
+    if data_kwargs.get("precomputed") and not task.endswith("stage1"):
+        raise ValueError(
+            "data_config.precomputed is stage-1 only: stage-2 trains the "
+            "tower (LoRA), so conditioning features must be computed live")
     # per-host shard splitting (webdataset split_by_node equivalent, §5.8)
     data_kwargs.setdefault("node_index", jax.process_index())
     data_kwargs.setdefault("node_count", jax.process_count())

@@ -146,24 +146,36 @@ def trainable_predicate(spec: TaskSpec, modules) -> Callable[[str], bool]:
 def make_loss_fn(spec: TaskSpec):
     def loss_fn(trainable, frozen, batch, key):
         params = unflatten_params({**frozen, **trainable})
-        imgs = batch["image"]                       # [B, H, W, 3] in [0, 1]
         k_vae, k_t, k_noise, k_drop = jax.random.split(key, 4)
 
-        # frozen fp32 VAE encode (train_SigLIP_stage1.py:242-243)
-        vae_in = normalize(imgs, VAE_MEAN, VAE_STD).astype(jnp.float32)
-        x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae,
-                                  dtype=spec.vae_dtype)
-        x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
+        if "moments" in batch:
+            # precomputed conditioning (data.precompute): the frozen VAE
+            # encoder and tower ran offline; sample the posterior fresh from
+            # the cached moments (same key split -> same train distribution)
+            z = vae_m.diagonal_gaussian(k_vae, batch["moments"].astype(jnp.float32))
+            x1_lat = spec.vae_cfg.scale_factor * (z - spec.vae_cfg.shift_factor)
+            x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
+            from .conditioning import image_conditioning_from_cls
+            cond = image_conditioning_from_cls(
+                params["clip"], batch["cls"], spec.latent_hw,
+                compute_dtype=spec.compute_dtype)
+            b = batch["moments"].shape[0]
+        else:
+            imgs = batch["image"]                   # [B, H, W, 3] in [0, 1]
+            # frozen fp32 VAE encode (train_SigLIP_stage1.py:242-243)
+            vae_in = normalize(imgs, VAE_MEAN, VAE_STD).astype(jnp.float32)
+            x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae,
+                                      dtype=spec.vae_dtype)
+            x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
 
-        # LoRA dropout (peft parity, train_SigLIP_stage2_all.py:134-143)
-        # applies only to LoRA-wrapped linears, i.e. the stage-2 tower.
-        from ..core.nn import lora_dropout_ctx
-        with lora_dropout_ctx(k_drop, spec.lora_dropout):
-            cond = image_conditioning(spec.tower_kind, params["clip"], imgs,
-                                      spec.tower_cfg, spec.latent_hw,
-                                      compute_dtype=spec.compute_dtype)
-
-        b = imgs.shape[0]
+            # LoRA dropout (peft parity, train_SigLIP_stage2_all.py:134-143)
+            # applies only to LoRA-wrapped linears, i.e. the stage-2 tower.
+            from ..core.nn import lora_dropout_ctx
+            with lora_dropout_ctx(k_drop, spec.lora_dropout):
+                cond = image_conditioning(spec.tower_kind, params["clip"], imgs,
+                                          spec.tower_cfg, spec.latent_hw,
+                                          compute_dtype=spec.compute_dtype)
+            b = imgs.shape[0]
         t = flow.sample_timesteps(k_t, b, spec.scale_factor)
         x0 = jax.random.normal(k_noise, x1.shape, jnp.float32)
         xt = flow.interpolate(x1, x0, t)

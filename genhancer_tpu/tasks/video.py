@@ -159,32 +159,45 @@ def trainable_predicate(spec: VideoTaskSpec, modules) -> Callable[[str], bool]:
 def make_loss_fn(spec: VideoTaskSpec):
     def loss_fn(trainable, frozen, batch, key):
         params = unflatten_params({**frozen, **trainable})
-        cond = batch["cond"]          # [B, n_cond, H, W, 3] in [0, 1]
-        target = batch["target"]      # [B, H, W, 3]
         valid = batch.get("valid")    # [B] bool or None
-        b, n_cond = cond.shape[0], cond.shape[1]
         k_vae, k_t, k_noise, k_drop = jax.random.split(key, 4)
 
-        vae_in = normalize(target, VAE_MEAN, VAE_STD).astype(jnp.float32)
-        x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae,
-                                  dtype=spec.vae_dtype)
-        x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
+        if "moments" in batch:
+            # precomputed conditioning (data.precompute): frozen VAE/tower
+            # ran offline; posterior sampled fresh from cached moments.
+            # Stage-1 only (the factory rejects stage-2, which trains the
+            # tower and must see live features).
+            z = vae_m.diagonal_gaussian(k_vae, batch["moments"].astype(jnp.float32))
+            x1_lat = spec.vae_cfg.scale_factor * (z - spec.vae_cfg.shift_factor)
+            x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
+            patches = batch["cond_patches"].astype(spec.compute_dtype)
+            vecs = batch["cond_vecs"].astype(spec.compute_dtype)
+            b, n_cond = patches.shape[0], patches.shape[1]
+        else:
+            cond = batch["cond"]          # [B, n_cond, H, W, 3] in [0, 1]
+            target = batch["target"]      # [B, H, W, 3]
+            b, n_cond = cond.shape[0], cond.shape[1]
 
-        # one batched tower pass over all conditioning frames
-        mean, std = tower_stats(spec.tower_kind)
-        px = normalize(cond.reshape((b * n_cond,) + cond.shape[2:]), mean, std)
-        px = px.astype(spec.compute_dtype)
-        tower_in = params["clip"]
-        if spec.stage == "stage1":
-            tower_in = jax.lax.stop_gradient(tower_in)  # torch.no_grad parity
-        # LoRA dropout applies only to LoRA-wrapped linears (stage-2 tower)
-        from ..core.nn import lora_dropout_ctx
-        with lora_dropout_ctx(k_drop, spec.lora_dropout):
-            vecs_flat, patches_flat = tower_features(spec.tower_kind, tower_in,
-                                                     px, spec.tower_cfg)
-        lp, dt = patches_flat.shape[1], patches_flat.shape[2]
-        patches = patches_flat.reshape(b, n_cond, lp, dt)
-        vecs = vecs_flat.reshape(b, n_cond, -1)
+            vae_in = normalize(target, VAE_MEAN, VAE_STD).astype(jnp.float32)
+            x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae,
+                                      dtype=spec.vae_dtype)
+            x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
+
+            # one batched tower pass over all conditioning frames
+            mean, std = tower_stats(spec.tower_kind)
+            px = normalize(cond.reshape((b * n_cond,) + cond.shape[2:]), mean, std)
+            px = px.astype(spec.compute_dtype)
+            tower_in = params["clip"]
+            if spec.stage == "stage1":
+                tower_in = jax.lax.stop_gradient(tower_in)  # torch.no_grad parity
+            # LoRA dropout applies only to LoRA-wrapped linears (stage-2 tower)
+            from ..core.nn import lora_dropout_ctx
+            with lora_dropout_ctx(k_drop, spec.lora_dropout):
+                vecs_flat, patches_flat = tower_features(spec.tower_kind, tower_in,
+                                                         px, spec.tower_cfg)
+            lp, dt = patches_flat.shape[1], patches_flat.shape[2]
+            patches = patches_flat.reshape(b, n_cond, lp, dt)
+            vecs = vecs_flat.reshape(b, n_cond, -1)
 
         dit_in = video_conditioning(
             params,

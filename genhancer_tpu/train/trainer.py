@@ -178,7 +178,9 @@ class Trainer:
     def _array_batches(self):
         """Yield device-ready batches (array leaves only; accumulation
         stacking applied)."""
-        array_keys = {"image", "cond", "target", "valid"}
+        array_keys = {"image", "cond", "target", "valid",
+                      # precomputed-conditioning batches (data.precompute)
+                      "moments", "cls", "cond_patches", "cond_vecs"}
         # each host pads its local rows to its local share of the data axis
         n_data = mesh_m.data_axis_size(self.mesh) // jax.process_count()
 

@@ -1,0 +1,185 @@
+"""Precomputed-conditioning pipeline (data/precompute.py): shard round-trip
+through the standard loaders, and loss equivalence vs the inline frozen
+paths under the same step PRNG — the cache stores VAE *moments*, so the
+per-step posterior sample is identical and the video path is semantics-exact
+(frame transform is deterministic)."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from genhancer_tpu.data import precompute as pre
+from genhancer_tpu.data.testing import make_image_shard, make_video_shard
+from genhancer_tpu.models import dit as dit_m, vae as vae_m
+from genhancer_tpu.models.towers import clip as clip_m
+from genhancer_tpu.tasks import image as image_task, video as video_task
+from genhancer_tpu.train import optim
+from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+
+
+IMG = 32
+
+
+TINY_DIT = dit_m.DiTConfig(in_channels=16, vec_in_dim=24, context_in_dim=32,
+                           hidden_size=64, num_heads=4, depth=1,
+                           depth_single_blocks=1, axes_dim=(4, 6, 6))
+TINY_VAE = vae_m.VAEConfig(resolution=IMG, ch=8, ch_mult=(1, 2),
+                           num_res_blocks=1, z_channels=4)
+
+
+def tiny_tower_cfg():
+    return clip_m.CLIPConfig(
+        vision=clip_m.CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                                       num_layers=1, num_heads=2, image_size=IMG,
+                                       patch_size=16),
+        text=clip_m.CLIPTextConfig(hidden_size=32, intermediate_size=64,
+                                   num_layers=1, num_heads=2, vocab_size=50,
+                                   max_position_embeddings=8),
+        projection_dim=24)
+
+
+@pytest.fixture(scope="module")
+def models():
+    tower_cfg = tiny_tower_cfg()
+    vae_cfg = TINY_VAE
+    tower_params = clip_m.init_clip(jax.random.key(2), tower_cfg)
+    vae_params = vae_m.init_vae(jax.random.key(1), vae_cfg)
+    return tower_params, tower_cfg, vae_params, vae_cfg
+
+
+def image_spec(tower_cfg, vae_cfg):
+    return image_task.TaskSpec(
+        stage="stage1", tower_kind="clip", img_size=IMG, clip_image_size=IMG,
+        dit_cfg=TINY_DIT, vae_cfg=vae_cfg,
+        tower_cfg=tower_cfg, clip_dim=24, t5_dim=32,
+        compute_dtype=jnp.float32, dit_param_dtype=jnp.float32,
+        vae_dtype=jnp.float32)
+
+
+def video_spec(tower_cfg, vae_cfg, mode="middle"):
+    return video_task.VideoTaskSpec(
+        mode=mode, stage="stage1", tower_kind="clip", img_size=IMG,
+        clip_image_size=IMG, dit_cfg=TINY_DIT,
+        vae_cfg=vae_cfg, tower_cfg=tower_cfg, clip_dim=24, t5_dim=32,
+        adapter_in_dim=32, compute_dtype=jnp.float32,
+        dit_param_dtype=jnp.float32, vae_dtype=jnp.float32)
+
+
+class TestVideoPrecompute:
+    def test_roundtrip_and_loss_equivalence(self, tmp_path, models):
+        tower_params, tower_cfg, vae_params, vae_cfg = models
+        src = tmp_path / "vid"
+        make_video_shard(str(src / "v-000000.tar"), num_videos=3,
+                         frames_per_video=5, img_size=IMG)
+
+        fn = pre.make_frozen_fn("clip", tower_params, tower_cfg, vae_params,
+                                vae_cfg, vae_dtype=jnp.float32,
+                                compute_dtype=jnp.float32, with_patches=True)
+        out = tmp_path / "pre"
+        n = pre.precompute_video_dir(str(src), str(out), fn, IMG, batch=4)
+        assert n == 15  # every frame cached
+
+        from genhancer_tpu.data import video as video_data
+        kw = dict(train_batch_size=2, num_workers=1, img_size=IMG,
+                  shuffle_buffer=0, repeat=False, seed=0)
+        pix_batches = list(video_data.loader(mode="triplet",
+                                             video_dir=str(src), **kw))
+        pre_batches = list(video_data.loader(mode="triplet", precomputed=True,
+                                             video_dir=str(out), **kw))
+        assert pix_batches and pre_batches
+        pb, qb = pix_batches[0], pre_batches[0]
+        assert qb["cond_patches"].shape[:2] == pb["cond"].shape[:2]
+        assert "moments" in qb
+
+        spec = video_spec(tower_cfg, vae_cfg)
+        opt = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        state = video_task.create_task_state(jax.random.key(0), spec, opt,
+                                             tower_params=tower_params,
+                                             vae_params=vae_params)
+        loss_fn = video_task.make_loss_fn(spec)
+        key = jax.random.key(5)
+        l_inline = float(loss_fn(state.trainable, state.frozen,
+                                 {k: jnp.asarray(v) for k, v in pb.items()
+                                  if k != "valid"}, key))
+        l_pre = float(loss_fn(state.trainable, state.frozen,
+                              {k: jnp.asarray(v) for k, v in qb.items()
+                               if k != "valid"}, key))
+        # exact semantics: same moments -> same posterior sample; patches
+        # round-trip through f16 storage (~1e-3 relative)
+        assert l_pre == pytest.approx(l_inline, rel=2e-2), (l_pre, l_inline)
+
+    def test_sliding_loader_reads_cache(self, tmp_path, models):
+        tower_params, tower_cfg, vae_params, vae_cfg = models
+        src = tmp_path / "vid"
+        make_video_shard(str(src / "v-000000.tar"), num_videos=2,
+                         frames_per_video=6, img_size=IMG)
+        fn = pre.make_frozen_fn("clip", tower_params, tower_cfg, vae_params,
+                                vae_cfg, vae_dtype=jnp.float32,
+                                compute_dtype=jnp.float32, with_patches=True)
+        out = tmp_path / "pre"
+        pre.precompute_video_dir(str(src), str(out), fn, IMG, batch=4)
+
+        from genhancer_tpu.data import video as video_data
+        batches = list(video_data.loader(
+            mode="sliding", precomputed=True, video_dir=str(out),
+            train_batch_size=2, num_workers=1, img_size=IMG, shuffle_buffer=0,
+            repeat=False, seed=0, window_cond=3, window_stride=1,
+            max_windows_per_video=2))
+        assert batches
+        b = batches[0]
+        assert b["cond_patches"].shape[0] == 4       # 2 videos x 2 windows
+        assert b["valid"].any()
+
+
+class TestImagePrecompute:
+    def test_roundtrip_and_loss_equivalence(self, tmp_path, models):
+        tower_params, tower_cfg, vae_params, vae_cfg = models
+        src = tmp_path / "img"
+        make_image_shard(str(src / "i-000000.tar"), num_samples=6, img_size=IMG)
+
+        fn = pre.make_frozen_fn("clip", tower_params, tower_cfg, vae_params,
+                                vae_cfg, vae_dtype=jnp.float32,
+                                compute_dtype=jnp.float32, with_patches=False)
+        out = tmp_path / "pre"
+        n = pre.precompute_image_dir(str(src), str(out), fn, IMG, batch=4)
+        assert n == 6
+
+        from genhancer_tpu.data import cc3m as cc3m_data
+        pre_batches = list(cc3m_data.loader(
+            img_dir=str(out), precomputed=True, train_batch_size=3,
+            num_workers=1, img_size=IMG, shuffle_buffer=0, repeat=False))
+        assert pre_batches and "moments" in pre_batches[0]
+
+        # inline comparison on the SAME pixels (deterministic eval transform)
+        eval_batches = list(cc3m_data.loader(
+            img_dir=str(src), train=False, train_batch_size=3, num_workers=1,
+            img_size=IMG, shuffle_buffer=0, repeat=False))
+        spec = image_spec(tower_cfg, vae_cfg)
+        opt = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        state = image_task.create_task_state(jax.random.key(0), spec, opt,
+                                             tower_params=tower_params,
+                                             vae_params=vae_params)
+        loss_fn = image_task.make_loss_fn(spec)
+        key = jax.random.key(9)
+        l_inline = float(loss_fn(state.trainable, state.frozen,
+                                 {"image": jnp.asarray(eval_batches[0]["image"])},
+                                 key))
+        l_pre = float(loss_fn(state.trainable, state.frozen,
+                              {"moments": jnp.asarray(pre_batches[0]["moments"]),
+                               "cls": jnp.asarray(pre_batches[0]["cls"])},
+                              key))
+        assert l_pre == pytest.approx(l_inline, rel=1e-3), (l_pre, l_inline)
+
+    def test_factory_rejects_precomputed_stage2(self, tmp_path):
+        from genhancer_tpu.tasks import factory
+        cfg = Config(dict(TRAIN_DEFAULTS))
+        cfg["task"] = "image_stage2_all"
+        cfg["tower"] = "openai_clip"
+        cfg["model_name"] = "flux-debug"
+        cfg["data_config"] = Config({"img_dir": str(tmp_path),
+                                     "precomputed": True,
+                                     "train_batch_size": 2})
+        with pytest.raises(ValueError, match="stage-1 only"):
+            factory.build_task(cfg)
