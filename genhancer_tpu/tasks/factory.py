@@ -76,6 +76,12 @@ def build_task(cfg, key: Optional[jax.Array] = None):
     dc = cfg.get("data_config", {}) or {}
     img_size = int(dc.get("img_size", 224))
     clip_image_size = int(cc.get("clip_image_size", img_size))
+    if dc.get("precomputed") and not task.endswith("stage1"):
+        # fail before building any model: stage-2 trains the tower (LoRA),
+        # so conditioning features must be computed live
+        raise ValueError(
+            "data_config.precomputed is stage-1 only: stage-2 trains the "
+            "tower (LoRA), so conditioning features must be computed live")
 
     kind, tower_cfg = registry.tower_family_and_config(
         tower, clip_image_size, cc.get("clip_type"))
@@ -120,10 +126,6 @@ def build_task(cfg, key: Optional[jax.Array] = None):
 
     data_kwargs = dict(dc)
     data_kwargs.pop("img_size", None)
-    if data_kwargs.get("precomputed") and not task.endswith("stage1"):
-        raise ValueError(
-            "data_config.precomputed is stage-1 only: stage-2 trains the "
-            "tower (LoRA), so conditioning features must be computed live")
     # per-host shard splitting (webdataset split_by_node equivalent, §5.8)
     data_kwargs.setdefault("node_index", jax.process_index())
     data_kwargs.setdefault("node_count", jax.process_count())

@@ -259,6 +259,33 @@ def main():
         print("opt:", results["opt_ms"], flush=True)
 
     # --- full steps ---------------------------------------------------------
+    if want("step_pre"):
+        # precomputed-conditioning step (data.precompute): DiT + projectors +
+        # optimizer only; batch holds VAE moments + tower class tokens
+        spec_p = make_spec(dit_quant=args.dit_quant)
+        h, w = spec_p.latent_hw
+        zc = 2 * spec_p.vae_cfg.z_channels
+        pre_batch = {
+            "moments": jnp.asarray(rng.normal(size=(args.batch, h, w, zc))
+                                   .astype(np.float32) * 0.3),
+            "cls": jnp.asarray(rng.normal(size=(args.batch, 768))
+                               .astype(np.float32)),
+        }
+        step = image_task.make_train_step(spec_p, optimizer)
+        st = image_task.create_task_state(jax.random.key(0), spec_p, optimizer)
+        for i in range(2):
+            st, m = step(st, pre_batch, jax.random.fold_in(key, i))
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            st, m = step(st, pre_batch, jax.random.fold_in(key, 100 + i))
+        float(m["loss"])
+        results["step_pre_ms"] = (time.perf_counter() - t0) / args.iters * 1000.0
+        results["step_pre_imgps"] = args.batch / results["step_pre_ms"] * 1000.0
+        print("step_pre:", results["step_pre_ms"], results["step_pre_imgps"],
+              flush=True)
+        del step, st
+
     if want("step"):
         for name, spec in (("step_f32vae_ms", spec_f32), ("step_bf16vae_ms", spec_bf16)):
             step = image_task.make_train_step(spec, optimizer)
