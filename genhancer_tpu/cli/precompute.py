@@ -66,8 +66,14 @@ def main(argv=None) -> dict:
         kind, tower_cfg, cc.get("model_dir"), jax.random.fold_in(key, 2))
 
     vae_dtype = (jnp.float32 if cfg.get("vae_dtype") == "fp32" else jnp.bfloat16)
+    # tower compute dtype mirrors the trainer (factory.build_task reads
+    # mixed_precision) so cached features match the inline path exactly
+    compute_dtype = (jnp.bfloat16
+                     if cfg.get("mixed_precision", "bf16") == "bf16"
+                     else jnp.float32)
     fn = pre.make_frozen_fn(kind, tower_params, tower_cfg, vae_params, vae_cfg,
-                            vae_dtype=vae_dtype, with_patches=is_video)
+                            vae_dtype=vae_dtype, compute_dtype=compute_dtype,
+                            with_patches=is_video)
     if is_video:
         n = pre.precompute_video_dir(src, args.output_dir, fn, img_size,
                                      batch=args.batch,

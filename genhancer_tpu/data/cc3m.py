@@ -96,14 +96,24 @@ class CC3MLoader:
         the task loss skips the frozen VAE/tower for these."""
         from .precompute import load_feat
         moments, cls, texts = [], [], []
+        seen = loaded = 0
         for sample in self.stream:
+            seen += 1
             blob = sample.get("feat.npz")
             if blob is None:
+                # a precomputed stream with no usable samples is a config
+                # error (pixel shards?) — fail instead of spinning forever
+                if loaded == 0 and seen >= 200:
+                    raise RuntimeError(
+                        "precomputed image loader found no .feat.npz in "
+                        f"the first {seen} samples — are these shards "
+                        "written by genhancer-precompute?")
                 continue
             try:
                 feats = load_feat(blob)
             except Exception:
                 continue
+            loaded += 1
             moments.append(feats["moments"])
             cls.append(feats["cls"])
             t = sample.get("txt", b"")

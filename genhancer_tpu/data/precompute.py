@@ -52,7 +52,15 @@ def load_feat(blob: bytes) -> Dict[str, np.ndarray]:
 
 
 class ShardWriter:
-    """Rotating tar writer (``pre-%06d.tar`` every ``samples_per_shard``)."""
+    """Rotating tar writer (``pre-%06d.tar`` every ``samples_per_shard``
+    LOGICAL samples).
+
+    ``add_group`` writes all members of one logical sample (an image's
+    feat.npz+txt pair, or a whole video's frames) atomically into the same
+    shard — shards may only split BETWEEN groups.  Splitting a video across
+    shards would be corruption, not inefficiency: the training-time shard
+    list is shuffled/split per node, so a straddled video surfaces as two
+    truncated videos with wrong middle/last-frame semantics."""
 
     def __init__(self, out_dir: str, samples_per_shard: int = 1000,
                  prefix: str = "pre"):
@@ -60,7 +68,7 @@ class ShardWriter:
         self.out_dir = out_dir
         self.per_shard = samples_per_shard
         self.prefix = prefix
-        self.count = 0
+        self.groups = 0
         self.shard_idx = 0
         self.tf: Optional[tarfile.TarFile] = None
 
@@ -72,13 +80,16 @@ class ShardWriter:
         self.tf = tarfile.open(path, "w")
         self.shard_idx += 1
 
-    def add(self, name: str, data: bytes):
-        if self.tf is None or (self.count and self.count % self.per_shard == 0):
+    def add_group(self, members):
+        """members: iterable of (name, bytes) — one logical sample."""
+        if self.tf is None or (self.groups and
+                               self.groups % self.per_shard == 0):
             self._roll()
-        info = tarfile.TarInfo(name)
-        info.size = len(data)
-        self.tf.addfile(info, io.BytesIO(data))
-        self.count += 1
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            self.tf.addfile(info, io.BytesIO(data))
+        self.groups += 1
 
     def close(self):
         if self.tf is not None:
@@ -144,6 +155,8 @@ def precompute_video_dir(video_dir, out_dir: str, frozen_fn, img_size: int,
     loaders (triplet/pair/2-frame/sliding) assemble samples from the cache
     exactly as they would from pixels.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from .transforms import video_frame_transform
     from .wds import ShardStream
 
@@ -151,21 +164,23 @@ def precompute_video_dir(video_dir, out_dir: str, frozen_fn, img_size: int,
                          group_videos=True)
     writer = ShardWriter(out_dir, samples_per_shard)
     written = 0
-    for video in stream:
-        frames = video["frames"]
-        try:
-            arr = np.stack([video_frame_transform(f[1], img_size)
-                            for f in frames])
-        except Exception:
-            continue
-        feats = _batched(frozen_fn, arr, batch)
-        for i, (fkey, _) in enumerate(frames):
-            blob = _npz_bytes(
-                moments=feats["moments"][i],
-                patches=feats["patches"][i].astype(np.float16),
-                vec=feats["cls"][i])
-            writer.add(f"{fkey}.feat.npz", blob)  # fkey already carries the dir
-            written += 1
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        for video in stream:
+            frames = video["frames"]
+            try:
+                arr = np.stack(list(pool.map(
+                    lambda f: video_frame_transform(f[1], img_size), frames)))
+            except Exception:
+                continue
+            feats = _batched(frozen_fn, arr, batch)
+            # one video = one atomic group: shards never split mid-video
+            writer.add_group(
+                (f"{fkey}.feat.npz",            # fkey already carries the dir
+                 _npz_bytes(moments=feats["moments"][i],
+                            patches=feats["patches"][i].astype(np.float16),
+                            cls=feats["cls"][i]))
+                for i, (fkey, _) in enumerate(frames))
+            written += len(frames)
     writer.close()
     return written
 
@@ -175,11 +190,14 @@ def precompute_image_dir(img_dir, out_dir: str, frozen_fn, img_size: int,
                          num_workers: int = 4) -> int:
     """Cache CC3M-style image shards (deterministic center-crop transform —
     see module docstring); returns samples written."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .transforms import eval_image_transform
     from .wds import ShardStream
 
     stream = ShardStream(img_dir, shuffle_buffer=0, repeat=False)
     writer = ShardWriter(out_dir, samples_per_shard)
+    pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
     written = 0
     keys, imgs, txts = [], [], []
 
@@ -189,24 +207,46 @@ def precompute_image_dir(img_dir, out_dir: str, frozen_fn, img_size: int,
             return
         feats = _batched(frozen_fn, np.stack(imgs), batch)
         for i, k in enumerate(keys):
-            writer.add(f"{k}.feat.npz", _npz_bytes(
-                moments=feats["moments"][i], cls=feats["cls"][i]))
-            writer.add(f"{k}.txt", txts[i])
+            # feat.npz + txt land in the same shard (one atomic group)
+            writer.add_group([
+                (f"{k}.feat.npz", _npz_bytes(moments=feats["moments"][i],
+                                             cls=feats["cls"][i])),
+                (f"{k}.txt", txts[i]),
+            ])
             written += 1
         keys.clear(), imgs.clear(), txts.clear()
 
-    for sample in stream:
+    def decode(sample):
         jpg = sample.get("jpg") or sample.get("jpeg") or sample.get("png")
         if jpg is None:
-            continue
+            return None
         try:
-            imgs.append(eval_image_transform(jpg, img_size))
+            return eval_image_transform(jpg, img_size)
         except Exception:
+            return None
+
+    pending = []
+    for sample in stream:
+        pending.append((sample, pool.submit(decode, sample)))
+        if len(pending) >= batch * 2:
+            for s, fut in pending:
+                img = fut.result()
+                if img is None:
+                    continue
+                imgs.append(img)
+                keys.append(s["__key__"])
+                txts.append(s.get("txt", b""))
+                if len(imgs) >= batch:
+                    flush()
+            pending = []
+    for s, fut in pending:
+        img = fut.result()
+        if img is None:
             continue
-        keys.append(sample["__key__"])
-        txts.append(sample.get("txt", b""))
-        if len(imgs) >= batch:
-            flush()
+        imgs.append(img)
+        keys.append(s["__key__"])
+        txts.append(s.get("txt", b""))
     flush()
+    pool.shutdown()
     writer.close()
     return written

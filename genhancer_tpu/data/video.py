@@ -29,6 +29,17 @@ from .transforms import video_frame_transform
 from .wds import ShardStream
 
 
+def _assemble_precomputed(cond_feats: List[Dict], target_feats: Dict) -> Dict:
+    """Cached-feature example: patches stay float16 (halving host RAM and
+    host->device bytes for the batch's largest tensor; the loss casts to
+    compute_dtype on device anyway)."""
+    return {
+        "cond_patches": np.stack([f["patches"] for f in cond_feats]),
+        "cond_vecs": np.stack([f["cls"] for f in cond_feats]),
+        "moments": target_feats["moments"],
+    }
+
+
 class VideoLoaderBase:
     def __init__(self, video_dir, train_batch_size: int = 4, num_workers: int = 4,
                  img_size: int = 224, seed: int = 0, shuffle_buffer: int = 100,
@@ -77,11 +88,7 @@ class VideoLoaderBase:
             tgt = load_feat(frames[target_idx][1])
         except Exception:
             return None
-        return {
-            "cond_patches": np.stack([f["patches"] for f in feats]).astype(np.float32),
-            "cond_vecs": np.stack([f["vec"] for f in feats]),
-            "moments": tgt["moments"],
-        }
+        return _assemble_precomputed(feats, tgt)
 
     def select_indices(self, n_frames: int) -> Optional[List[int]]:
         raise NotImplementedError
@@ -95,12 +102,26 @@ class VideoLoaderBase:
             return None
         return self._gather(frames, idx[:-1], idx[-1])
 
+    def _check_yields(self, seen: int, produced: int) -> None:
+        """A precomputed stream that produces nothing is a configuration
+        error (e.g. precomputed: true pointed at pixel shards) — without
+        this check a repeating stream spins forever yielding no batches."""
+        if self.precomputed and produced == 0 and seen >= 100:
+            raise RuntimeError(
+                f"precomputed video loader produced 0 examples from the "
+                f"first {seen} videos — are these .feat.npz shards written "
+                f"by genhancer-precompute (not pixel shards)?")
+
     def __iter__(self) -> Iterator[Dict]:
         pending: List[Dict] = []
+        seen = produced = 0
         for video in self.stream:
+            seen += 1
             ex = self.sample_to_example(video)
             if ex is None:
+                self._check_yields(seen, produced)
                 continue
+            produced += 1
             pending.append(ex)
             if len(pending) == self.batch_size:
                 out = {k: np.stack([e[k] for e in pending]) for k in pending[0]}
@@ -189,17 +210,10 @@ class SlidingWindowLoader(VideoLoaderBase):
                 feats = {f: load_feat(frames[f][1]) for f in needed}
             except Exception:
                 return []
-            out = []
-            for s in starts:
-                cs = [feats[s + o] for o in range(self.window_cond)]
-                tgt = feats[s + self.window_cond]
-                out.append({
-                    "cond_patches": np.stack(
-                        [c["patches"] for c in cs]).astype(np.float32),
-                    "cond_vecs": np.stack([c["vec"] for c in cs]),
-                    "moments": tgt["moments"],
-                })
-            return out
+            return [_assemble_precomputed(
+                        [feats[s + o] for o in range(self.window_cond)],
+                        feats[s + self.window_cond])
+                    for s in starts]
         arr_all = self._decode_frames(frames, needed)
         if arr_all is None:
             return []
@@ -214,10 +228,14 @@ class SlidingWindowLoader(VideoLoaderBase):
         static_bs = self.batch_size * self.max_windows
         windows: List[Dict] = []
         videos_in_batch = 0
+        seen = produced = 0
         for video in self.stream:
+            seen += 1
             ws = self.video_windows(video)
             if not ws:
+                self._check_yields(seen, produced)
                 continue
+            produced += 1
             windows.extend(ws)
             videos_in_batch += 1
             if videos_in_batch == self.batch_size:

@@ -183,3 +183,74 @@ class TestImagePrecompute:
                                      "train_batch_size": 2})
         with pytest.raises(ValueError, match="stage-1 only"):
             factory.build_task(cfg)
+
+
+class TestWriterGrouping:
+    def test_videos_never_split_across_shards(self, tmp_path, models):
+        tower_params, tower_cfg, vae_params, vae_cfg = models
+        src = tmp_path / "vid"
+        make_video_shard(str(src / "v-000000.tar"), num_videos=5,
+                         frames_per_video=4, img_size=IMG)
+        fn = pre.make_frozen_fn("clip", tower_params, tower_cfg, vae_params,
+                                vae_cfg, vae_dtype=jnp.float32,
+                                compute_dtype=jnp.float32, with_patches=True)
+        out = tmp_path / "pre"
+        pre.precompute_video_dir(str(src), str(out), fn, IMG, batch=4,
+                                 samples_per_shard=2)  # 2 VIDEOS per shard
+        import tarfile
+        shards = sorted(os.listdir(out))
+        assert len(shards) == 3  # 5 videos / 2 per shard
+        video_to_shards = {}
+        for sh in shards:
+            with tarfile.open(out / sh) as tf:
+                for name in tf.getnames():
+                    vid = name.split("/")[0]
+                    video_to_shards.setdefault(vid, set()).add(sh)
+        assert all(len(s) == 1 for s in video_to_shards.values()), video_to_shards
+
+    def test_image_pairs_stay_together(self, tmp_path, models):
+        tower_params, tower_cfg, vae_params, vae_cfg = models
+        src = tmp_path / "img"
+        make_image_shard(str(src / "i-000000.tar"), num_samples=5, img_size=IMG)
+        fn = pre.make_frozen_fn("clip", tower_params, tower_cfg, vae_params,
+                                vae_cfg, vae_dtype=jnp.float32,
+                                compute_dtype=jnp.float32, with_patches=False)
+        out = tmp_path / "pre"
+        n = pre.precompute_image_dir(str(src), str(out), fn, IMG, batch=2,
+                                     samples_per_shard=3)  # odd on purpose
+        assert n == 5
+        import tarfile
+        for sh in sorted(os.listdir(out)):
+            with tarfile.open(out / sh) as tf:
+                names = tf.getnames()
+                stems = {nm.rsplit(".", 2)[0].replace(".txt", "")
+                         for nm in names}
+                feat = {nm[:-len(".feat.npz")] for nm in names
+                        if nm.endswith(".feat.npz")}
+                txt = {nm[:-len(".txt")] for nm in names if nm.endswith(".txt")}
+                assert feat == txt  # every sample's pair in the same shard
+
+
+class TestEmptyCacheFailsLoudly:
+    def test_video_loader_raises_on_pixel_shards(self, tmp_path):
+        src = tmp_path / "vid"
+        # enough pixel videos to trip the 100-seen threshold (repeat loops)
+        make_video_shard(str(src / "v-000000.tar"), num_videos=4,
+                         frames_per_video=4, img_size=IMG)
+        from genhancer_tpu.data import video as video_data
+        it = iter(video_data.loader(mode="triplet", precomputed=True,
+                                    video_dir=str(src), train_batch_size=2,
+                                    num_workers=1, img_size=IMG,
+                                    shuffle_buffer=0, repeat=True, seed=0))
+        with pytest.raises(RuntimeError, match="precomputed video loader"):
+            next(it)
+
+    def test_image_loader_raises_on_pixel_shards(self, tmp_path):
+        src = tmp_path / "img"
+        make_image_shard(str(src / "i-000000.tar"), num_samples=8, img_size=IMG)
+        from genhancer_tpu.data import cc3m as cc3m_data
+        it = iter(cc3m_data.loader(img_dir=str(src), precomputed=True,
+                                   train_batch_size=4, num_workers=1,
+                                   img_size=IMG, shuffle_buffer=0, repeat=True))
+        with pytest.raises(RuntimeError, match="no .feat.npz"):
+            next(it)
