@@ -105,6 +105,31 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_over_data(tree, mesh: Mesh):
+    """ZeRO-1-style placement: shard each leaf's leading axis over the data
+    axis when it divides evenly, else replicate.
+
+    Used for the optimizer moments: replicating Adam state across DP chips
+    wastes ``(n-1)/n`` of its HBM (~5 GB at 1.3B bf16 params on 8 chips).
+    With moments sharded and params/grads replicated, XLA's SPMD partitioner
+    inserts the dynamic-slice (grad -> shard) and all-gather (new param
+    shard -> replica) around the elementwise update automatically — this is
+    exactly the ZeRO-1 communication pattern, expressed as shardings instead
+    of hand-written collectives (SURVEY.md §2.9: mesh+pjit replaces
+    DeepSpeed; the reference's zero_stage-0 config kept state replicated).
+    """
+    n = data_axis_size(mesh)
+    rep = replicated(mesh)
+    shd = NamedSharding(mesh, P(DATA_AXIS))
+
+    def place(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, shd)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def data_axis_size(mesh: Mesh) -> int:
     return mesh.shape[DATA_AXIS]
 

@@ -45,14 +45,34 @@ def host_snapshot(tree):
     Starts all device→host copies asynchronously first so the per-leaf
     ``np.asarray`` waits overlap; returns the same pytree structure with
     numpy leaves (non-array leaves pass through).
+
+    Multi-host sharded leaves (ZeRO-1 optimizer moments): ``np.asarray``
+    only works on fully-addressable or fully-replicated arrays, so those go
+    through ``multihost_utils.process_allgather`` — which is COLLECTIVE:
+    every process must call host_snapshot on the same tree (the trainer
+    does, before gating the write on process 0).
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     for leaf in leaves:
         start = getattr(leaf, "copy_to_host_async", None)
-        if start is not None:
+        if start is not None and _locally_fetchable(leaf):
             start()
-    host = [np.asarray(l) if isinstance(l, jax.Array) else l for l in leaves]
+
+    def fetch(l):
+        if not isinstance(l, jax.Array):
+            return l
+        if _locally_fetchable(l):
+            return np.asarray(l)
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(l, tiled=True))
+
+    host = [fetch(l) for l in leaves]
     return jax.tree_util.tree_unflatten(treedef, host)
+
+
+def _locally_fetchable(leaf) -> bool:
+    return bool(getattr(leaf, "is_fully_addressable", True)
+                or getattr(leaf, "is_fully_replicated", True))
 
 
 class AsyncCheckpointer:

@@ -152,6 +152,14 @@ class Trainer:
                 log.info("resumed from step %d", int(self.state.step))
 
         self.state = mesh_m.replicate(self.state, self.mesh)
+        if bool(cfg.get("shard_optimizer_state", False)):
+            # ZeRO-1: Adam moments sharded over the data axis (params/grads
+            # stay replicated; XLA inserts the slice/all-gather pattern)
+            from .state import TrainState
+            self.state = TrainState(
+                trainable=self.state.trainable, frozen=self.state.frozen,
+                opt_state=mesh_m.shard_over_data(self.state.opt_state, self.mesh),
+                step=self.state.step)
 
         from ..tasks.image import make_loss_fn as image_loss
         from ..tasks.video import make_loss_fn as video_loss
@@ -230,6 +238,13 @@ class Trainer:
         return False
 
     def _checkpoint(self, step: int) -> None:
+        state = self.state
+        if jax.process_count() > 1:
+            # multi-host: the snapshot is collective (sharded leaves — e.g.
+            # ZeRO-1 moments — need an all-hosts process_allgather), then
+            # only process 0 writes
+            from .async_ckpt import host_snapshot
+            state = host_snapshot(self.state)
         if not self.is_main:
             return
         def write(state):
@@ -248,7 +263,7 @@ class Trainer:
                     log.info("pruned old checkpoints: %s", pruned)
             log.info("saved checkpoint at step %d", step)
 
-        self.ckpt_writer.save(self.state, write)
+        self.ckpt_writer.save(state, write)
 
     # -- loop --------------------------------------------------------------
 

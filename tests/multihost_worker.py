@@ -66,6 +66,13 @@ def main():
     state = image_task.create_task_state(jax.random.key(0), spec, optimizer)
     mesh = mesh_m.make_mesh()
     state = mesh_m.replicate(state, mesh)
+    # ZeRO-1 moments sharded over the DP axis — the run must stay loss-equal
+    # to the replicated single-process run, and the checkpoint snapshot must
+    # gather the shards collectively (async_ckpt.host_snapshot)
+    from genhancer_tpu.train.state import TrainState
+    state = TrainState(trainable=state.trainable, frozen=state.frozen,
+                       opt_state=mesh_m.shard_over_data(state.opt_state, mesh),
+                       step=state.step)
     step_fn = image_task.make_train_step(spec, optimizer)
 
     os.makedirs(outdir, exist_ok=True)
@@ -83,9 +90,13 @@ def main():
     # checkpoint round-trip under the multi-process topology: save on host 0,
     # resume into a fresh state everywhere, keep training — parity required
     out = os.path.join(outdir, "ckpt")
+    # collective snapshot (gathers the sharded ZeRO-1 moments), then host-0
+    # writes — the trainer._checkpoint flow
+    from genhancer_tpu.train.async_ckpt import host_snapshot
+    snap = host_snapshot(state)
     if proc_id == 0:
         os.makedirs(out, exist_ok=True)
-        ckpt.save_stage1(state, out, 2, "image")
+        ckpt.save_stage1(snap, out, 2, "image")
     if nprocs > 1:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("ckpt-written")

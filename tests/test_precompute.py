@@ -185,6 +185,7 @@ class TestImagePrecompute:
             factory.build_task(cfg)
 
 
+@pytest.mark.slow
 class TestWriterGrouping:
     def test_videos_never_split_across_shards(self, tmp_path, models):
         tower_params, tower_cfg, vae_params, vae_cfg = models
