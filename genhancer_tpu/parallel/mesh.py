@@ -123,6 +123,10 @@ def shard_over_data(tree, mesh: Mesh):
     shd = NamedSharding(mesh, P(DATA_AXIS))
 
     def place(x):
+        sh = getattr(x, "sharding", None)
+        if (isinstance(sh, NamedSharding)
+                and any(a is not None for a in sh.spec)):
+            return x   # already model-parallel sharded (tp.py) — keep
         if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
             return jax.device_put(x, shd)
         return jax.device_put(x, rep)

@@ -109,12 +109,14 @@ class Trainer:
         os.makedirs(self.output_dir, exist_ok=True)
         mesh_m.maybe_initialize_distributed()
         n = int(cfg.get("num_devices") or len(jax.devices()))
+        self.tp = int(cfg.get("model_parallel", 1) or 1)
+        self.mesh = mesh_m.make_mesh(n, model_parallel=self.tp)
         bs = int(cfg.get_path("data_config.train_batch_size", 1))
-        if bs % n:
-            log.warning("train_batch_size %d not divisible by %d devices; "
-                        "padding batches to %d with a masked loss", bs, n,
-                        bs + (-bs) % n)
-        self.mesh = mesh_m.make_mesh(n)
+        n_data = mesh_m.data_axis_size(self.mesh)
+        if bs % n_data:
+            log.warning("train_batch_size %d not divisible by the %d-way "
+                        "data axis; padding batches to %d with a masked loss",
+                        bs, n_data, bs + (-bs) % n_data)
         self.is_main = jax.process_index() == 0
         self.ckpt_writer = AsyncCheckpointer(
             enabled=bool(cfg.get("async_checkpointing", True)))
@@ -152,6 +154,18 @@ class Trainer:
                 log.info("resumed from step %d", int(self.state.step))
 
         self.state = mesh_m.replicate(self.state, self.mesh)
+        if self.tp > 1:
+            # Megatron-style DiT tensor parallelism as placements (parallel.tp)
+            from ..parallel import tp as tp_m
+            from .state import TrainState
+            tp_m.validate_tp(self.spec.dit_cfg, self.tp)
+            trainable, placements = tp_m.shard_dit_params(
+                self.state.trainable, self.mesh)
+            self.state = TrainState(
+                trainable=trainable, frozen=self.state.frozen,
+                opt_state=tp_m.shard_like_params(self.state.opt_state,
+                                                 placements, self.mesh),
+                step=self.state.step)
         if bool(cfg.get("shard_optimizer_state", False)):
             # ZeRO-1: Adam moments sharded over the data axis (params/grads
             # stay replicated; XLA inserts the slice/all-gather pattern)
