@@ -150,3 +150,26 @@ class TestE2E:
         assert metrics["step"] == 2
         names = os.listdir(str(tmp_path / "outv"))
         assert any(n.startswith("checkpoint-visual-adapter-") for n in names)
+
+
+class TestParallelKnobs:
+    """model_parallel + shard_optimizer_state drive through the full trainer
+    (build_task -> placements -> step -> checkpoint)."""
+
+    def test_tp2_trains_and_checkpoints(self, tmp_path, shards, tiny_models):
+        from genhancer_tpu.cli.train import main
+        cfgp = write_cfg(tmp_path, img_dir=shards, max_train_steps=2,
+                         checkpointing_steps=2, model_parallel=2)
+        metrics = main(["--config", cfgp])
+        assert metrics["step"] == 2
+        assert np.isfinite(metrics["loss"])
+        assert "checkpoint-dit-2.bin" in os.listdir(str(tmp_path / "out"))
+
+    def test_zero1_trains_and_checkpoints(self, tmp_path, shards, tiny_models):
+        from genhancer_tpu.cli.train import main
+        cfgp = write_cfg(tmp_path, img_dir=shards, max_train_steps=2,
+                         checkpointing_steps=2, shard_optimizer_state=True)
+        metrics = main(["--config", cfgp])
+        assert metrics["step"] == 2
+        assert np.isfinite(metrics["loss"])
+        assert "optimizer-state-2.bin" in os.listdir(str(tmp_path / "out"))
