@@ -52,22 +52,34 @@ def host_snapshot(tree):
     every process must call host_snapshot on the same tree (the trainer
     does, before gating the write on process 0).
     """
+    tree = gather_sharded(tree)
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     for leaf in leaves:
         start = getattr(leaf, "copy_to_host_async", None)
-        if start is not None and _locally_fetchable(leaf):
+        if start is not None:
             start()
-
-    def fetch(l):
-        if not isinstance(l, jax.Array):
-            return l
-        if _locally_fetchable(l):
-            return np.asarray(l)
-        from jax.experimental import multihost_utils
-        return np.asarray(multihost_utils.process_allgather(l, tiled=True))
-
-    host = [fetch(l) for l in leaves]
+    host = [np.asarray(l) if isinstance(l, jax.Array) else l for l in leaves]
     return jax.tree_util.tree_unflatten(treedef, host)
+
+
+def gather_sharded(tree):
+    """Replace every NON-locally-fetchable leaf (multi-host sharded, e.g.
+    ZeRO-1 moments) with its gathered host value, leaving fetchable leaves
+    untouched.  COLLECTIVE: all processes must call this with the same tree
+    — and it is the ONLY part of a checkpoint snapshot non-main processes
+    need to run (they skip the d2h fetch of replicated params entirely).
+    All sharded leaves gather in ONE process_allgather call, not one
+    dispatch + collective per leaf."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx = [i for i, l in enumerate(leaves)
+           if isinstance(l, jax.Array) and not _locally_fetchable(l)]
+    if idx:
+        from jax.experimental import multihost_utils
+        gathered = multihost_utils.process_allgather(
+            tuple(leaves[i] for i in idx), tiled=True)
+        for i, g in zip(idx, gathered):
+            leaves[i] = np.asarray(g)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _locally_fetchable(leaf) -> bool:

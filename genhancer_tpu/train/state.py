@@ -58,6 +58,10 @@ class TrainState:
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
+    def replace(self, **kw) -> "TrainState":
+        import dataclasses
+        return dataclasses.replace(self, **kw)
+
     def params(self) -> Any:
         """Nested pytree of all model params (trainable overriding frozen)."""
         return unflatten_params({**self.frozen, **self.trainable})

@@ -155,25 +155,24 @@ class Trainer:
 
         self.state = mesh_m.replicate(self.state, self.mesh)
         if self.tp > 1:
-            # Megatron-style DiT tensor parallelism as placements (parallel.tp)
+            # Megatron-style DiT tensor parallelism as placements
+            # (parallel.tp).  The DiT lives in ``trainable`` for stage-1 /
+            # stage2_all but in ``frozen`` for stage2_only — shard BOTH so
+            # the knob is never a silent no-op.
             from ..parallel import tp as tp_m
-            from .state import TrainState
             tp_m.validate_tp(self.spec.dit_cfg, self.tp)
             trainable, placements = tp_m.shard_dit_params(
                 self.state.trainable, self.mesh)
-            self.state = TrainState(
-                trainable=trainable, frozen=self.state.frozen,
+            frozen, _ = tp_m.shard_dit_params(self.state.frozen, self.mesh)
+            self.state = self.state.replace(
+                trainable=trainable, frozen=frozen,
                 opt_state=tp_m.shard_like_params(self.state.opt_state,
-                                                 placements, self.mesh),
-                step=self.state.step)
+                                                 placements, self.mesh))
         if bool(cfg.get("shard_optimizer_state", False)):
             # ZeRO-1: Adam moments sharded over the data axis (params/grads
             # stay replicated; XLA inserts the slice/all-gather pattern)
-            from .state import TrainState
-            self.state = TrainState(
-                trainable=self.state.trainable, frozen=self.state.frozen,
-                opt_state=mesh_m.shard_over_data(self.state.opt_state, self.mesh),
-                step=self.state.step)
+            self.state = self.state.replace(
+                opt_state=mesh_m.shard_over_data(self.state.opt_state, self.mesh))
 
         from ..tasks.image import make_loss_fn as image_loss
         from ..tasks.video import make_loss_fn as video_loss
@@ -254,11 +253,11 @@ class Trainer:
     def _checkpoint(self, step: int) -> None:
         state = self.state
         if jax.process_count() > 1:
-            # multi-host: the snapshot is collective (sharded leaves — e.g.
-            # ZeRO-1 moments — need an all-hosts process_allgather), then
-            # only process 0 writes
-            from .async_ckpt import host_snapshot
-            state = host_snapshot(self.state)
+            # multi-host: gathering sharded leaves (ZeRO-1 moments, TP
+            # params) is collective — ALL processes run it; only process 0
+            # then pays the d2h fetch of the replicated rest and writes
+            from .async_ckpt import gather_sharded
+            state = gather_sharded(self.state)
         if not self.is_main:
             return
         def write(state):
@@ -349,7 +348,9 @@ class Trainer:
                 self._last_saved = step
             last_data_t = time.time()
 
-        if step > 0 and self.is_main and getattr(self, "_last_saved", None) != step:
+        # ALL processes enter _checkpoint (its snapshot is collective for
+        # sharded state; the write itself is gated on is_main inside)
+        if step > 0 and getattr(self, "_last_saved", None) != step:
             self._checkpoint(step)
         self.ckpt_writer.close()  # drain async writes before returning
         self.writer.close()

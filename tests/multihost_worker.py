@@ -69,10 +69,8 @@ def main():
     # ZeRO-1 moments sharded over the DP axis — the run must stay loss-equal
     # to the replicated single-process run, and the checkpoint snapshot must
     # gather the shards collectively (async_ckpt.host_snapshot)
-    from genhancer_tpu.train.state import TrainState
-    state = TrainState(trainable=state.trainable, frozen=state.frozen,
-                       opt_state=mesh_m.shard_over_data(state.opt_state, mesh),
-                       step=state.step)
+    state = state.replace(
+        opt_state=mesh_m.shard_over_data(state.opt_state, mesh))
     step_fn = image_task.make_train_step(spec, optimizer)
 
     os.makedirs(outdir, exist_ok=True)

@@ -27,10 +27,9 @@ def _run(tp: int, steps=3):
     if tp > 1:
         tp_m.validate_tp(spec.dit_cfg, tp)
         trainable, placements = tp_m.shard_dit_params(state.trainable, mesh)
-        state = TrainState(trainable=trainable, frozen=state.frozen,
-                           opt_state=tp_m.shard_like_params(
-                               state.opt_state, placements, mesh),
-                           step=state.step)
+        state = state.replace(trainable=trainable,
+                              opt_state=tp_m.shard_like_params(
+                                  state.opt_state, placements, mesh))
     step = image_task.make_train_step(spec, optimizer)
     batch = mesh_m.shard_batch(
         {"image": jnp.asarray(np.random.default_rng(3).random(

@@ -26,9 +26,8 @@ def _make(shard: bool):
     mesh = mesh_m.make_mesh()
     state = mesh_m.replicate(state, mesh)
     if shard:
-        state = TrainState(trainable=state.trainable, frozen=state.frozen,
-                           opt_state=mesh_m.shard_over_data(state.opt_state, mesh),
-                           step=state.step)
+        state = state.replace(
+            opt_state=mesh_m.shard_over_data(state.opt_state, mesh))
     step = image_task.make_train_step(spec, optimizer)
     return spec, state, step, mesh
 
