@@ -129,8 +129,18 @@ def main():
     batch_data = {"image": jnp.asarray(
         rng.random((batch, img_size, img_size, 3), dtype=np.float32))}
 
-    # warmup / compile
-    for i in range(3):
+    # warmup / compile — the axon remote-compile service occasionally
+    # returns transient HTTP 500s under load; retry the first (compiling)
+    # step a few times before giving up
+    for attempt in range(3):
+        try:
+            state, metrics = step(state, batch_data, jax.random.key(0))
+            break
+        except Exception as e:   # jax.errors.JaxRuntimeError wraps the 500
+            if attempt == 2 or "remote_compile" not in str(e):
+                raise
+            time.sleep(20)
+    for i in range(1, 3):
         state, metrics = step(state, batch_data, jax.random.key(i))
     float(metrics["loss"])
 
