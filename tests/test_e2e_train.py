@@ -130,6 +130,17 @@ class TestE2E:
         sd = load_torch_state_dict(os.path.join(out, exports[0], "pytorch_model.bin"))
         assert "vision_model.embeddings.class_embedding" in sd
         assert not any("lora" in k for k in sd)
+        # the reference eval consumes the dir via CLIPModel.from_pretrained
+        # (evaluate_mmvp_OpenAICLIP_336.py:159-189) — prove the trainer-written
+        # dir loads with stock transformers and runs
+        import torch
+        from transformers import CLIPModel
+        loaded = CLIPModel.from_pretrained(os.path.join(out, exports[0])).eval()
+        px = torch.zeros(1, 3, TINY_TOWER.vision.image_size, TINY_TOWER.vision.image_size)
+        with torch.no_grad():
+            logits = loaded(input_ids=torch.tensor([[5, 6, 2]]),
+                            pixel_values=px).logits_per_text
+        assert logits.shape == (1, 1) and torch.isfinite(logits).all()
 
     def test_video_trainer_compat_name(self, tmp_path, tiny_models):
         from genhancer_tpu.cli.train import main

@@ -109,6 +109,7 @@ class TestCLIPParity:
         missing, unexpected = model2.load_state_dict(
             {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, strict=False)
         assert not unexpected
+        assert not missing, f"export misses HF params: {missing}"
         px = rng.standard_normal((1, 3, 28, 28), dtype=np.float32)
         with torch.no_grad():
             a = model(pixel_values=torch.from_numpy(px),
@@ -164,3 +165,50 @@ class TestStateDictUtils:
         tree = torch_io.unflatten_state_dict(sd)
         assert isinstance(tree["proj"], dict)
         assert set(tree["proj"]) == {"0", "3"}
+
+
+class TestFromPretrainedExport:
+    """Prove the stage-2 export at its actual consumption point: the reference
+    eval loads exported dirs via ``CLIPModel.from_pretrained(dir)``
+    (``evaluation/evaluate_mmvp_OpenAICLIP_336.py:159-189``).  A dir written by
+    our exporter (synthesized config.json + torch-zip-pickle pytorch_model.bin)
+    must load with stock ``transformers`` and produce logits matching the
+    in-framework tower."""
+
+    def _export_dir(self, tmp_path, params, hf_cfg_dict):
+        import json, os
+        out = str(tmp_path / "export")
+        os.makedirs(out, exist_ok=True)
+        sd = hf_convert.tower_to_torch(params)
+        torch_io.save_torch_state_dict(sd, os.path.join(out, "pytorch_model.bin"))
+        with open(os.path.join(out, "config.json"), "w") as f:
+            json.dump(hf_cfg_dict, f)
+        return out
+
+    def test_clip_from_pretrained(self, clip_pair, rng, tmp_path):
+        from transformers import CLIPModel
+        model, jcfg, params = clip_pair
+        out = self._export_dir(tmp_path, params, jcfg.to_hf())
+        loaded = CLIPModel.from_pretrained(out).eval()
+        px = rng.standard_normal((2, 3, 28, 28), dtype=np.float32)
+        ids = np.array([[5, 6, 2], [7, 8, 2]])
+        with torch.no_grad():
+            lt_t = loaded(input_ids=torch.from_numpy(ids),
+                          pixel_values=torch.from_numpy(px)).logits_per_text.numpy()
+        lt_j, _ = jclip.clip_logits(params, jnp.asarray(ids),
+                                    jnp.asarray(px.transpose(0, 2, 3, 1)), jcfg)
+        np.testing.assert_allclose(np.asarray(lt_j), lt_t, rtol=1e-3, atol=1e-3)
+
+    def test_siglip_from_pretrained(self, siglip_pair, rng, tmp_path):
+        from transformers import SiglipModel
+        model, jcfg, params = siglip_pair
+        out = self._export_dir(tmp_path, params, jcfg.to_hf())
+        loaded = SiglipModel.from_pretrained(out).eval()
+        px = rng.standard_normal((2, 3, 28, 28), dtype=np.float32)
+        ids = np.array([[5, 6, 1], [7, 8, 1]])
+        with torch.no_grad():
+            lt_t = loaded(input_ids=torch.from_numpy(ids),
+                          pixel_values=torch.from_numpy(px)).logits_per_text.numpy()
+        lt_j, _ = jsiglip.siglip_logits(params, jnp.asarray(ids),
+                                        jnp.asarray(px.transpose(0, 2, 3, 1)), jcfg)
+        np.testing.assert_allclose(np.asarray(lt_j), lt_t, rtol=1e-3, atol=1e-3)
