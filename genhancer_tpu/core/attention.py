@@ -68,6 +68,8 @@ def sdpa_xla_qchunk(q: jax.Array, k: jax.Array, v: jax.Array,
 def _pallas_available() -> bool:
     if _USE_PALLAS == "0":
         return False
+    if os.environ.get("GENHANCER_PALLAS_INTERPRET", "0") == "1":
+        return True  # interpret-mode kernels run anywhere (CPU-mesh SPMD tests)
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover

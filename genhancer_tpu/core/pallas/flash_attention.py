@@ -176,8 +176,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dk_ref, dv_ref,
     dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd(block_q, res, do):
-    q, k, v, o = res
+def _bwd_impl(q, k, v, o, do, block_q):
     b, l, h, d = q.shape
     nq = pl.cdiv(l, block_q)
     scale = 1.0 / (d ** 0.5)
@@ -225,15 +224,48 @@ def _bwd(block_q, res, do):
             dv.transpose(0, 2, 1, 3))
 
 
+# ---------------------------------------------------------------------------
+# SPMD-safe entry points: custom_partitioning declares B/H embarrassingly
+# parallel (grid is (B, H/hb, nQ)) so mesh-partitioned callers run the kernel
+# on local shards instead of all-gathering (core/pallas/spmd.py).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _fwd_sp(block_q):
+    from . import spmd
+
+    def fwd(q, k, v):
+        return _fwd(q, k, v, block_q)
+
+    return spmd.wrap(fwd, (spmd.BHLD,) * 3, spmd.BHLD,
+                     spmd.FWD_RULE, spmd.FWD_REPL)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_sp(block_q):
+    from . import spmd
+
+    def bwd(q, k, v, o, do):
+        return _bwd_impl(q, k, v, o, do, block_q)
+
+    return spmd.wrap(bwd, (spmd.BHLD,) * 5, (spmd.BHLD,) * 3,
+                     spmd.BWD_RULE, spmd.BWD_REPL)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q):
     """q, k, v: [B, L, H, D] -> [B, L, H, D] (exact softmax attention)."""
-    return _fwd(q, k, v, block_q)
+    return _fwd_sp(block_q)(q, k, v)
 
 
 def _flash_fwd(q, k, v, block_q):
-    o = _fwd(q, k, v, block_q)
+    o = _fwd_sp(block_q)(q, k, v)
     return o, (q, k, v, o)
 
 
-flash_attention.defvjp(_flash_fwd, _bwd)
+def _flash_bwd(block_q, res, do):
+    q, k, v, o = res
+    return _bwd_sp(block_q)(q, k, v, o, do)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -182,6 +182,44 @@ def _run_fwd(q, k, v, cos_full=None, sin_full=None):
     return _to_bhld(out)
 
 
+# SPMD-safe entry points (see core/pallas/spmd.py): B and H partition freely
+# (grid (B, H/hb)); L/D and the rope tables replicate.  Wrapped lazily so the
+# spmd module import stays off the non-mesh path.
+
+@functools.lru_cache(maxsize=None)
+def _sp(which: str):
+    from . import spmd
+
+    # custom_partitioning resolves operands against the wrapped function's
+    # signature — hand it exact-arity closures, not the default-arg originals
+    def rope_fwd(q, k, v, cos_full, sin_full):
+        return _run_fwd(q, k, v, cos_full, sin_full)
+
+    def rope_bwd(q, k, v, o, do, cos_full, sin_full):
+        return _run_bwd(q, k, v, o, do, cos_full, sin_full)
+
+    def norope_fwd(q, k, v):
+        return _run_fwd(q, k, v)
+
+    def norope_bwd(q, k, v, o, do):
+        return _run_bwd(q, k, v, o, do)
+
+    return {
+        "rope_fwd": lambda: spmd.wrap(
+            rope_fwd, (spmd.BHLD,) * 3 + (spmd.BLD,) * 2, spmd.BHLD,
+            spmd.ROPE_FWD_RULE, spmd.ROPE_FWD_REPL),
+        "rope_bwd": lambda: spmd.wrap(
+            rope_bwd, (spmd.BHLD,) * 5 + (spmd.BLD,) * 2, (spmd.BHLD,) * 3,
+            spmd.ROPE_BWD_RULE, spmd.ROPE_BWD_REPL),
+        "fwd": lambda: spmd.wrap(
+            norope_fwd, (spmd.BHLD,) * 3, spmd.BHLD,
+            spmd.FWD_RULE, spmd.FWD_REPL),
+        "bwd": lambda: spmd.wrap(
+            norope_bwd, (spmd.BHLD,) * 5, (spmd.BHLD,) * 3,
+            spmd.BWD_RULE, spmd.BWD_REPL),
+    }[which]()
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def fused_rope_attention(q, k, v, cos, sin):
     """RoPE + exact softmax attention, one Pallas program per batch element.
@@ -190,12 +228,12 @@ def fused_rope_attention(q, k, v, cos, sin):
     Best for L <= ~512 (the [H, L, L] f32 logits must fit VMEM).
     """
     cos_full, sin_full = _expand_tables(cos, sin)
-    return _run_fwd(q, k, v, cos_full, sin_full)
+    return _sp("rope_fwd")(q, k, v, cos_full, sin_full)
 
 
 def _vjp_fwd(q, k, v, cos, sin):
     cos_full, sin_full = _expand_tables(cos, sin)
-    o = _run_fwd(q, k, v, cos_full, sin_full)
+    o = _sp("rope_fwd")(q, k, v, cos_full, sin_full)
     return o, (q, k, v, o, cos_full, sin_full)
 
 
@@ -227,7 +265,7 @@ def _run_bwd(q, k, v, o, do, cos_full=None, sin_full=None):
 
 def _vjp_bwd(res, do):
     q, k, v, o, cos_full, sin_full = res
-    dq, dk, dv = _run_bwd(q, k, v, o, do, cos_full, sin_full)
+    dq, dk, dv = _sp("rope_bwd")(q, k, v, o, do, cos_full, sin_full)
     return (dq, dk, dv, None, None)
 
 
@@ -242,17 +280,17 @@ fused_rope_attention.defvjp(_vjp_fwd, _vjp_bwd)
 def fused_attention(q, k, v):
     """Exact softmax attention, head-batched, one program per (batch,
     head-block) — the tower-encoder path (no RoPE).  q,k,v: [B, L, H, D]."""
-    return _run_fwd(q, k, v)
+    return _sp("fwd")(q, k, v)
 
 
 def _vjp_fwd_norope(q, k, v):
-    o = _run_fwd(q, k, v)
+    o = _sp("fwd")(q, k, v)
     return o, (q, k, v, o)
 
 
 def _vjp_bwd_norope(res, do):
     q, k, v, o = res
-    return _run_bwd(q, k, v, o, do)
+    return _sp("bwd")(q, k, v, o, do)
 
 
 fused_attention.defvjp(_vjp_fwd_norope, _vjp_bwd_norope)

@@ -11,6 +11,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("GENHANCER_PALLAS_ATTN", "0")
+# Pallas kernels only run on CPU in interpret mode; setting this before any
+# kernel module import makes direct-kernel tests order-independent (the
+# dispatcher stays off via GENHANCER_PALLAS_ATTN=0 above unless a test
+# engages it explicitly).
+os.environ.setdefault("GENHANCER_PALLAS_INTERPRET", "1")
 
 import jax  # noqa: E402
 
