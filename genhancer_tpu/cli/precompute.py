@@ -14,9 +14,11 @@ them with::
       precomputed: true
 
 Video caching is semantics-exact (deterministic frame transform; the VAE
-posterior is re-sampled per step from cached moments).  Image caching uses
-the deterministic center-crop transform instead of RandomResizedCrop — the
-standard latent-caching trade, stated loudly below.
+posterior is re-sampled per step from cached moments).  Image caching
+defaults to the augmentation-preserving mode: ``--variants K`` i.i.d.
+RandomResizedCrop draws per image; the loader samples one per visit
+(marginally identical to inline augmentation — data/precompute.py).
+``--augment center`` selects the legacy deterministic single-crop cache.
 """
 
 from __future__ import annotations
@@ -33,6 +35,19 @@ def main(argv=None) -> dict:
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--samples_per_shard", type=int, default=2000)
+    parser.add_argument("--augment", choices=("train", "center"),
+                        default="train",
+                        help="image mode: 'train' caches --variants i.i.d. "
+                             "RandomResizedCrop draws per image "
+                             "(augmentation-preserving); 'center' caches one "
+                             "deterministic center crop")
+    parser.add_argument("--variants", type=int, default=1,
+                        help="augmentation variants per image (augment=train)."
+                             " Each variant is an i.i.d. RandomResizedCrop "
+                             "draw, so K=1 already matches the inline "
+                             "augmentation distribution for single-epoch "
+                             "schedules; set K >= ceil(epochs) so revisits "
+                             "of the same image also get fresh crops")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -80,12 +95,19 @@ def main(argv=None) -> dict:
                                      samples_per_shard=args.samples_per_shard)
         log.info("cached %d video frames -> %s", n, args.output_dir)
     else:
-        log.warning("image caching fixes the crop per sample (center crop "
-                    "replaces RandomResizedCrop) — the standard "
-                    "latent-caching augmentation trade")
+        if args.augment == "center":
+            log.warning("augment=center fixes the crop per sample (center "
+                        "crop replaces RandomResizedCrop); use the default "
+                        "augment=train for the augmentation-preserving cache")
+        else:
+            log.info("augmentation-preserving cache: %d RandomResizedCrop "
+                     "variants per image", args.variants)
         n = pre.precompute_image_dir(src, args.output_dir, fn, img_size,
                                      batch=args.batch,
-                                     samples_per_shard=args.samples_per_shard)
+                                     samples_per_shard=args.samples_per_shard,
+                                     augment=args.augment,
+                                     variants=args.variants,
+                                     seed=int(cfg.get("seed", 0)))
         log.info("cached %d images -> %s", n, args.output_dir)
     return {"written": n, "output_dir": args.output_dir}
 

@@ -114,8 +114,17 @@ class CC3MLoader:
             except Exception:
                 continue
             loaded += 1
-            moments.append(feats["moments"])
-            cls.append(feats["cls"])
+            if feats["moments"].ndim == 4:
+                # augmentation-preserving cache (data.precompute variants>1):
+                # K i.i.d. RandomResizedCrop feature sets per image — a
+                # uniformly-drawn variant is a fresh draw from the reference
+                # augmentation distribution
+                j = int(self.rng.integers(feats["moments"].shape[0]))
+                moments.append(feats["moments"][j])
+                cls.append(feats["cls"][j])
+            else:
+                moments.append(feats["moments"])
+                cls.append(feats["cls"])
             t = sample.get("txt", b"")
             texts.append(t.decode("utf-8", "replace")
                          if isinstance(t, bytes) else str(t))

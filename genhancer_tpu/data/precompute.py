@@ -12,10 +12,12 @@ VAE/tower entirely (tasks/image.py, tasks/video.py branch on batch keys).
 Exactness: the cache stores the VAE posterior **moments** (mean/logvar), not
 a sampled latent — the per-step sampling noise is still drawn fresh on
 device from the step PRNG, so the training distribution is bit-identical to
-the inline path (video frames use the deterministic resize transform).
-Image mode center-crops instead of RandomResizedCrop — a documented
-augmentation trade (the standard latent-caching compromise); video modes
-have no augmentation to lose.
+the inline path (video frames use the deterministic resize transform; video
+modes have no augmentation to lose).  Image mode is augmentation-preserving
+via per-image variant stacks of the reference RandomResizedCrop transform
+(``precompute_image_dir(augment="train", variants=K)`` — exactness analysis
+in its docstring); the legacy center-crop cache remains as
+``augment="center"``.
 
 Format: per frame (video) ``{video_key}/{frame}.feat.npz`` with arrays
 ``moments`` [h, w, 2z] f32, ``patches`` [L_p, D] bf16-as-f16, ``vec`` [P]
@@ -187,13 +189,37 @@ def precompute_video_dir(video_dir, out_dir: str, frozen_fn, img_size: int,
 
 def precompute_image_dir(img_dir, out_dir: str, frozen_fn, img_size: int,
                          batch: int = 32, samples_per_shard: int = 2000,
-                         num_workers: int = 4) -> int:
-    """Cache CC3M-style image shards (deterministic center-crop transform —
-    see module docstring); returns samples written."""
+                         num_workers: int = 4, augment: str = "center",
+                         variants: int = 1, seed: int = 0) -> int:
+    """Cache CC3M-style image shards; returns samples written.
+
+    ``augment="center"`` keeps the deterministic center-crop cache (one
+    feature set per image).  ``augment="train"`` is the
+    **augmentation-preserving** mode (VERDICT r2 #1a): each image is cached
+    as ``variants`` i.i.d. draws of the reference training transform
+    (RandomResizedCrop scale 0.9-1.0 bicubic, ``dataset_cc3m.py:91-121``)
+    under a deterministic per-image key stream, stored stacked
+    (``moments [K, h, w, 2z]``, ``cls [K, P]``); the loader picks one
+    variant uniformly at random per visit.  Since the variants are i.i.d.
+    samples of the augmentation distribution, a uniformly-chosen variant IS
+    a fresh draw from that distribution — marginally exact.  The only delta
+    vs inline augmentation is across *revisits* of the same image, which
+    share the K-point pool (repeat-crop probability 1/K per revisit pair);
+    the reference image schedule (100k steps x bs16 x accum2 over ~3M CC3M
+    images, ``test_SigLIP_384_stage1.yaml``) visits each image ~1.07 times,
+    so K=4 bounds the fraction of non-independent crops below ~2%.
+    """
+    import zlib
     from concurrent.futures import ThreadPoolExecutor
 
-    from .transforms import eval_image_transform
+    from .transforms import eval_image_transform, train_image_transform
     from .wds import ShardStream
+
+    if augment not in ("center", "train"):
+        raise ValueError(f"augment must be center|train, got {augment!r}")
+    if augment == "center" and variants != 1:
+        raise ValueError("variants > 1 requires augment='train'")
+    k_var = variants if augment == "train" else 1
 
     stream = ShardStream(img_dir, shuffle_buffer=0, repeat=False)
     writer = ShardWriter(out_dir, samples_per_shard)
@@ -205,12 +231,20 @@ def precompute_image_dir(img_dir, out_dir: str, frozen_fn, img_size: int,
         nonlocal written
         if not imgs:
             return
-        feats = _batched(frozen_fn, np.stack(imgs), batch)
+        # imgs: per image a list of k_var crops -> one flat device batch
+        flat = np.stack([crop for per_img in imgs for crop in per_img])
+        feats = _batched(frozen_fn, flat, batch)
         for i, k in enumerate(keys):
+            sl = slice(i * k_var, (i + 1) * k_var)
+            if k_var == 1:
+                arrays = dict(moments=feats["moments"][i],
+                              cls=feats["cls"][i])
+            else:
+                arrays = dict(moments=feats["moments"][sl],
+                              cls=feats["cls"][sl])
             # feat.npz + txt land in the same shard (one atomic group)
             writer.add_group([
-                (f"{k}.feat.npz", _npz_bytes(moments=feats["moments"][i],
-                                             cls=feats["cls"][i])),
+                (f"{k}.feat.npz", _npz_bytes(**arrays)),
                 (f"{k}.txt", txts[i]),
             ])
             written += 1
@@ -221,7 +255,12 @@ def precompute_image_dir(img_dir, out_dir: str, frozen_fn, img_size: int,
         if jpg is None:
             return None
         try:
-            return eval_image_transform(jpg, img_size)
+            if augment == "train":
+                rng = np.random.default_rng(
+                    (seed, zlib.crc32(sample["__key__"].encode())))
+                return [train_image_transform(jpg, img_size, rng)
+                        for _ in range(k_var)]
+            return [eval_image_transform(jpg, img_size)]
         except Exception:
             return None
 

@@ -255,3 +255,83 @@ class TestEmptyCacheFailsLoudly:
                                    img_size=IMG, shuffle_buffer=0, repeat=True))
         with pytest.raises(RuntimeError, match="no .feat.npz"):
             next(it)
+
+
+class TestAugmentationPreservingCache:
+    """VERDICT r2 #1a: image precompute with K i.i.d. RandomResizedCrop
+    variants per image — marginally identical to inline augmentation."""
+
+    def _cache(self, tmp_path, models, variants=3):
+        tower_params, tower_cfg, vae_params, vae_cfg = models
+        src = tmp_path / "img"
+        make_image_shard(str(src / "i-000000.tar"), num_samples=5, img_size=48)
+        fn = pre.make_frozen_fn("clip", tower_params, tower_cfg, vae_params,
+                                vae_cfg, vae_dtype=jnp.float32,
+                                compute_dtype=jnp.float32, with_patches=False)
+        out = tmp_path / "pre"
+        n = pre.precompute_image_dir(str(src), str(out), fn, IMG, batch=4,
+                                     augment="train", variants=variants,
+                                     seed=7)
+        assert n == 5
+        return src, out
+
+    def test_shards_store_variant_stacks(self, tmp_path, models):
+        import tarfile
+        _, out = self._cache(tmp_path, models, variants=3)
+        shard = next(p for p in sorted(os.listdir(out)) if p.endswith(".tar"))
+        with tarfile.open(os.path.join(str(out), shard)) as tf:
+            member = next(m for m in tf.getmembers()
+                          if m.name.endswith(".feat.npz"))
+            feats = pre.load_feat(tf.extractfile(member).read())
+        assert feats["moments"].ndim == 4 and feats["moments"].shape[0] == 3
+        assert feats["cls"].ndim == 2 and feats["cls"].shape[0] == 3
+        # variants are DISTINCT crops (different pixels -> different features)
+        assert not np.allclose(feats["cls"][0], feats["cls"][1])
+
+    def test_loader_selects_one_variant_per_visit(self, tmp_path, models):
+        from genhancer_tpu.data import cc3m as cc3m_data
+        _, out = self._cache(tmp_path, models, variants=3)
+        batches = list(cc3m_data.loader(
+            img_dir=str(out), precomputed=True, train_batch_size=5,
+            num_workers=1, img_size=IMG, shuffle_buffer=0, repeat=False,
+            seed=0))
+        assert batches and batches[0]["moments"].ndim == 4   # [B, h, w, 2z]
+        assert batches[0]["moments"].shape[0] == 5
+        # across seeds, the variant choice varies (selection is random)
+        picks = []
+        for seed in range(6):
+            b = list(cc3m_data.loader(
+                img_dir=str(out), precomputed=True, train_batch_size=5,
+                num_workers=1, img_size=IMG, shuffle_buffer=0, repeat=False,
+                seed=seed))[0]
+            picks.append(np.asarray(b["cls"][0]))
+        assert any(not np.allclose(picks[0], p) for p in picks[1:])
+
+    def test_variants_deterministic_per_image_seed(self, tmp_path, models):
+        """Rebuilding the cache reproduces identical features (per-image
+        crc32-keyed RNG), so cache rebuilds are stable."""
+        import tarfile
+        _, out1 = self._cache(tmp_path, models)
+        out2 = tmp_path / "pre2"
+        tower_params, tower_cfg, vae_params, vae_cfg = models
+        fn = pre.make_frozen_fn("clip", tower_params, tower_cfg, vae_params,
+                                vae_cfg, vae_dtype=jnp.float32,
+                                compute_dtype=jnp.float32, with_patches=False)
+        pre.precompute_image_dir(str(tmp_path / "img"), str(out2), fn, IMG,
+                                 batch=4, augment="train", variants=3, seed=7)
+
+        def first_feats(d):
+            shard = next(p for p in sorted(os.listdir(d)) if p.endswith(".tar"))
+            with tarfile.open(os.path.join(str(d), shard)) as tf:
+                m = next(m for m in tf.getmembers()
+                         if m.name.endswith(".feat.npz"))
+                return pre.load_feat(tf.extractfile(m).read())
+
+        a, b = first_feats(out1), first_feats(out2)
+        np.testing.assert_array_equal(a["cls"], b["cls"])
+        np.testing.assert_array_equal(a["moments"], b["moments"])
+
+    def test_center_rejects_variants(self, tmp_path, models):
+        with pytest.raises(ValueError, match="variants"):
+            pre.precompute_image_dir("x", str(tmp_path / "o"), None, IMG,
+                                     augment="center", variants=2)
