@@ -51,19 +51,26 @@ _INT8_TRAIN_CTX = threading.local()
 
 
 @contextlib.contextmanager
-def int8_training_ctx(min_dim: int = 512, full: bool = False):
+def int8_training_ctx(min_dim: int = 512, full: bool = False,
+                      dw_int8: bool = False):
     """Route linears with min(out, in) >= min_dim through switchback int8.
 
     ``full=True`` selects the experimental full-int8 variant (dW also on the
-    int8 MXU, per-channel scales — quant.switchback_linear_full)."""
+    int8 MXU via XLA, per-channel scales — quant.switchback_linear_full).
+    ``dw_int8=True`` runs dW through the Pallas per-block-quant kernel
+    (core.pallas.int8_dw) instead — quantization fused into the tile loads,
+    no extra HBM passes."""
     prev = (getattr(_INT8_TRAIN_CTX, "min_dim", None),
-            getattr(_INT8_TRAIN_CTX, "full", False))
+            getattr(_INT8_TRAIN_CTX, "full", False),
+            getattr(_INT8_TRAIN_CTX, "dw_int8", False))
     _INT8_TRAIN_CTX.min_dim = int(min_dim)
     _INT8_TRAIN_CTX.full = bool(full)
+    _INT8_TRAIN_CTX.dw_int8 = bool(dw_int8)
     try:
         yield
     finally:
-        _INT8_TRAIN_CTX.min_dim, _INT8_TRAIN_CTX.full = prev
+        (_INT8_TRAIN_CTX.min_dim, _INT8_TRAIN_CTX.full,
+         _INT8_TRAIN_CTX.dw_int8) = prev
 
 
 @contextlib.contextmanager
@@ -123,11 +130,22 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
         w = p["weight"].astype(x.dtype)
         sb_min = getattr(_INT8_TRAIN_CTX, "min_dim", None)
         if sb_min is not None and min(w.shape) >= sb_min:
-            from .quant import switchback_linear, switchback_linear_full
-            sb = (switchback_linear_full
-                  if getattr(_INT8_TRAIN_CTX, "full", False)
-                  else switchback_linear)
-            y = sb(x, w)
+            dw8 = getattr(_INT8_TRAIN_CTX, "dw_int8", False)
+            if "weight_sb_q" in p and not getattr(_INT8_TRAIN_CTX, "full", False):
+                # optimizer-fused quant cache (core.quant): the int8 copy was
+                # emitted by the previous optimizer step — skip the per-step
+                # re-quantization HBM pass over W
+                from .quant import (switchback_linear_cached,
+                                    switchback_linear_cached_dw)
+                sb = switchback_linear_cached_dw if dw8 else switchback_linear_cached
+                y = sb(x, w, p["weight_sb_q"], p["weight_sb_scale"])
+            else:
+                from .quant import (switchback_linear, switchback_linear_dw,
+                                    switchback_linear_full)
+                sb = (switchback_linear_full
+                      if getattr(_INT8_TRAIN_CTX, "full", False)
+                      else (switchback_linear_dw if dw8 else switchback_linear))
+                y = sb(x, w)
         else:
             y = jax.lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
                                     preferred_element_type=x.dtype)

@@ -58,30 +58,81 @@ def _adamw_kernel(sc_ref, p_ref, m_ref, v_ref, g_ref,
     vo_ref[:] = v.astype(vo_ref.dtype)
 
 
-def _update_leaf_pallas(p, m, v, g, scalars, b1, b2, eps, wd):
+def _adamw_quant_kernel(sc_ref, p_ref, m_ref, v_ref, g_ref,
+                        po_ref, mo_ref, vo_ref, wq_ref, ws_ref,
+                        *, b1, b2, eps, wd):
+    """AdamW update + int8 weight emission in one pass: the new W tile is
+    still in registers, so quantizing here costs only the 1-byte/param wq
+    store — the forward's re-quantization pass over W (read + amax + write)
+    disappears (core.quant.switchback_linear_cached).
+
+    Quantizes the STORED (dtype-rounded) master so the cache bit-matches
+    ``quantize_weight(state.trainable[path])``."""
+    scale, lr, inv_bc1, inv_bc2 = (sc_ref[0], sc_ref[1], sc_ref[2], sc_ref[3])
+    g = g_ref[:].astype(jnp.float32) * scale
+    m = b1 * m_ref[:].astype(jnp.float32) + (1.0 - b1) * g
+    v = b2 * v_ref[:].astype(jnp.float32) + (1.0 - b2) * g * g
+    p = p_ref[:].astype(jnp.float32)
+    p = p - lr * (m * inv_bc1 / (jnp.sqrt(v * inv_bc2) + eps) + wd * p)
+    p_store = p.astype(po_ref.dtype)
+    po_ref[:] = p_store
+    mo_ref[:] = m.astype(mo_ref.dtype)
+    vo_ref[:] = v.astype(vo_ref.dtype)
+    pf = p_store.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(pf), axis=1, keepdims=True)      # per out-channel
+    ws = jnp.maximum(amax, 1e-12) / 127.0
+    wq_ref[:] = jnp.clip(jnp.round(pf / ws), -127, 127).astype(jnp.int8)
+    ws_ref[:] = ws.astype(jnp.float32)                      # [blk, 1]
+
+
+def _update_leaf_pallas(p, m, v, g, scalars, b1, b2, eps, wd,
+                        quant: bool = False):
     """Leaves keep their NATIVE 2-D shape — a reshape to a canonical lane
     count would be a physical relayout on TPU (tiled storage), costing extra
     full read+write passes and breaking in-place aliasing (measured: 91 ms
     vs 33.5 ms optax at ~1B params with the reshape; native-shape blocks
-    must only block the row axis)."""
+    must only block the row axis).
+
+    ``quant=True`` additionally emits (wq int8 [rows, cols], ws f32 [rows])
+    — returns a 5-tuple."""
     rows, cols = p.shape
     blk = min(_block_rows(cols, p, m, g), rows)
+    vmem_limit = None
+    if quant:
+        blk = max(blk, 32)        # int8 output tiles need >= (32, 128)
+        # the forced 32-row block can exceed the 16 MB default scoped limit
+        # at wide leaves (e.g. [3072, 15360] bf16: ~20 MB live) — raise it;
+        # physical VMEM is 128 MB
+        vmem_limit = 64 * 1024 * 1024
     grid = (pl.cdiv(rows, blk),)
     bs = pl.BlockSpec((blk, cols), lambda i: (i, 0))
-    kernel = functools.partial(_adamw_kernel, b1=b1, b2=b2, eps=eps, wd=wd)
-    po, mo, vo = pl.pallas_call(
+    if quant:
+        kernel = functools.partial(_adamw_quant_kernel, b1=b1, b2=b2,
+                                   eps=eps, wd=wd)
+        out_specs = (bs, bs, bs, bs, pl.BlockSpec((blk, 1), lambda i: (i, 0)))
+        out_shape = (jax.ShapeDtypeStruct(p.shape, p.dtype),
+                     jax.ShapeDtypeStruct(m.shape, m.dtype),
+                     jax.ShapeDtypeStruct(v.shape, v.dtype),
+                     jax.ShapeDtypeStruct(p.shape, jnp.int8),
+                     jax.ShapeDtypeStruct((rows, 1), jnp.float32))
+    else:
+        kernel = functools.partial(_adamw_kernel, b1=b1, b2=b2, eps=eps, wd=wd)
+        out_specs = (bs, bs, bs)
+        out_shape = (jax.ShapeDtypeStruct(p.shape, p.dtype),
+                     jax.ShapeDtypeStruct(m.shape, m.dtype),
+                     jax.ShapeDtypeStruct(v.shape, v.dtype))
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   bs, bs, bs, bs],
-        out_specs=(bs, bs, bs),
-        out_shape=(jax.ShapeDtypeStruct(p.shape, p.dtype),
-                   jax.ShapeDtypeStruct(m.shape, m.dtype),
-                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases={1: 0, 2: 1, 3: 2},
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+                         if vmem_limit else None),
         interpret=_INTERPRET,
     )(scalars, p, m, v, g)
-    return po, mo, vo
 
 
 def _update_leaf_xla(p, m, v, g, scalars, b1, b2, eps, wd):
@@ -96,10 +147,13 @@ def _update_leaf_xla(p, m, v, g, scalars, b1, b2, eps, wd):
 
 def fused_adamw_apply(params, mu, nu, grads, count, schedule,
                       b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
-                      max_grad_norm=1.0):
-    """Tree-level apply: returns (new_params, new_mu, new_nu).
+                      max_grad_norm=1.0, quant_paths=()):
+    """Tree-level apply: returns (new_params, new_mu, new_nu, quant).
 
     ``count`` is the post-increment step (1-based, like optax/torch).
+    ``quant_paths``: flat param-dict keys whose int8 copy + per-row scales
+    are emitted fused (params must be a flat path dict then); ``quant`` is
+    {path: (wq, ws)} or None when no paths were given.
     """
     import optax
 
@@ -113,15 +167,41 @@ def fused_adamw_apply(params, mu, nu, grads, count, schedule,
     inv_bc2 = 1.0 / (1.0 - b2 ** cf)
     scalars = jnp.stack([scale, lr, inv_bc1, inv_bc2])
 
-    def leaf(p, m, v, g):
-        if (p.ndim == 2 and p.shape[1] % 128 == 0 and p.shape[0] % 8 == 0
-                and p.size >= 64 * 1024):
+    def pallas_ok(p):
+        return (p.ndim == 2 and p.shape[1] % 128 == 0 and p.shape[0] % 8 == 0
+                and p.size >= 64 * 1024)
+
+    def leaf(p, m, v, g, quant=False):
+        if pallas_ok(p):
             return _update_leaf_pallas(p, m, v, g, scalars,
-                                       b1, b2, eps, weight_decay)
-        return _update_leaf_xla(p, m, v, g, scalars, b1, b2, eps, weight_decay)
+                                       b1, b2, eps, weight_decay, quant=quant)
+        out = _update_leaf_xla(p, m, v, g, scalars, b1, b2, eps, weight_decay)
+        if quant:
+            from ..quant import quantize_weight
+            wq, ws = quantize_weight(out[0], axis=0)
+            return out + (wq, ws[:, 0])
+        return out
+
+    qset = set(quant_paths)
+    if qset:
+        if not isinstance(params, dict):
+            raise ValueError("quant_paths requires flat path-dict params")
+        new_p, new_m, new_v, quant = {}, {}, {}, {}
+        for k in params:
+            q = k in qset and params[k].shape[0] % 32 == 0
+            out = leaf(params[k], mu[k], nu[k], grads[k], quant=q)
+            new_p[k], new_m[k], new_v[k] = out[:3]
+            if q:
+                ws = out[4]
+                quant[k] = (out[3], ws[:, 0] if ws.ndim == 2 else ws)
+            elif k in qset:   # rows not 32-divisible: quantize outside
+                from ..quant import quantize_weight
+                wq, ws = quantize_weight(new_p[k], axis=0)
+                quant[k] = (wq, ws[:, 0])
+        return new_p, new_m, new_v, quant
 
     out = jax.tree_util.tree_map(leaf, params, mu, nu, grads)
     is_triple = lambda x: isinstance(x, tuple) and len(x) == 3
     unzip = lambda i: jax.tree_util.tree_map(lambda t: t[i], out,
                                              is_leaf=is_triple)
-    return unzip(0), unzip(1), unzip(2)
+    return unzip(0), unzip(1), unzip(2), None

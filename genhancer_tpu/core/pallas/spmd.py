@@ -59,6 +59,13 @@ def enabled() -> bool:
 # argument/result kinds: which dims of the local array may stay sharded
 BHLD = "bhld"   # rank-4 [B, L, H, D] — B (dim 0) and H (dim 2) shardable
 BLD = "bld"     # rank-3 tables [B, L, D] — B only
+TC = "tc"       # rank-2 [T, C] row-major activations — T (dim 0) only
+T = "t"         # rank-1 [T] per-row values — T only
+C = "c"         # rank-1 [C] per-column values — fully replicated
+
+# kind -> (rank, batch_dim, head_dim)
+_KIND = {BHLD: (4, 0, 2), BLD: (3, 0, None), TC: (2, 0, None),
+         T: (1, 0, None), C: (1, None, None)}
 
 
 def _none_spec(rank: int) -> P:
@@ -77,20 +84,15 @@ def _norm(spec: P, rank: int) -> tuple:
     return t + (None,) * (rank - len(t))
 
 
-def _project(spec: P, kind: str) -> P:
-    """Keep only the shardable entries of a suggested spec."""
-    if kind == BHLD:
-        s = _norm(spec, 4)
-        return P(s[0], None, s[2], None)
-    s = _norm(spec, 3)
-    return P(s[0], None, None)
-
-
 def _qkv_consistent(b_axis, h_axis, kind: str) -> P:
     """Spec for an argument/result given the op-wide (batch, head) axes."""
-    if kind == BHLD:
-        return P(b_axis, None, h_axis, None)
-    return P(b_axis, None, None)
+    rank, bd, hd = _KIND[kind]
+    spec = [None] * rank
+    if bd is not None:
+        spec[bd] = b_axis
+    if hd is not None:
+        spec[hd] = h_axis
+    return P(*spec)
 
 
 def wrap(fn, arg_kinds: Sequence[str], out_kinds, rule: str,
@@ -111,11 +113,12 @@ def wrap(fn, arg_kinds: Sequence[str], out_kinds, rule: str,
         """(batch_axis, head_axis) consensus: first sharded suggestion wins."""
         b_axis = h_axis = None
         for s, kind in zip(arg_shapes, arg_kinds):
-            t = _norm(_spec_of(s.sharding), 4 if kind == BHLD else 3)
-            if b_axis is None and t[0] is not None:
-                b_axis = t[0]
-            if kind == BHLD and h_axis is None and t[2] is not None:
-                h_axis = t[2]
+            rank, bd, hd = _KIND[kind]
+            t = _norm(_spec_of(s.sharding), rank)
+            if bd is not None and b_axis is None and t[bd] is not None:
+                b_axis = t[bd]
+            if hd is not None and h_axis is None and t[hd] is not None:
+                h_axis = t[hd]
         return b_axis, h_axis
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
@@ -170,3 +173,8 @@ ROPE_FWD_REPL = ("l", "s", "d", "e")
 ROPE_BWD_RULE = ("b l h d, b s h d, b s h d, b l h d, b l h d, b l e, b l e "
                  "-> b l h d, b s h d, b s h d")
 ROPE_BWD_REPL = ("l", "s", "d", "e")
+# row-quant (core/pallas/rowquant.py): rows t shard over the data axis,
+# columns c replicated (the amax reduction runs over c)
+ROWQ_RULE = "t c -> t c, t"
+ROWQ_CS_RULE = "t c, c -> t c, t"
+ROWQ_REPL = ("c",)

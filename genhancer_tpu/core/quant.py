@@ -41,11 +41,32 @@ def quantize_weight(w: jax.Array, axis: int = 0):
     return q.astype(jnp.int8), scale.astype(jnp.float32)
 
 
-def quantize_activation_rows(x: jax.Array):
-    """Per-row (last dim) symmetric dynamic quant: (int8, f32 [..., 1])."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+def quantize_activation_rows(x: jax.Array, col_scale=None):
+    """Per-row (last dim) symmetric dynamic quant: (int8, f32 [..., 1]).
+
+    ``col_scale``: optional [C] f32 multiplier folded in before quantization
+    (the backward's ``g * ws`` dequant-scale).
+
+    On TPU this dispatches to the single-HBM-pass Pallas kernel
+    (core.pallas.rowquant): XLA needs two passes over x because the row amax
+    must complete before scaling, while the Pallas tile stays in VMEM between
+    the phases — the int8 stack's hottest non-matmul op (~48 sites/step).
+    Math is bit-identical on both paths."""
+    c = x.shape[-1]
+    if x.ndim >= 2:
+        from .pallas import rowquant as rq
+        t = x.size // c
+        if rq.supported(t, c) and rq.available():
+            cs = (None if col_scale is None
+                  else col_scale.astype(jnp.float32).reshape(c))
+            q, s = rq.rowquant_spmd(x.reshape(t, c), cs)
+            return (q.reshape(x.shape), s.reshape(x.shape[:-1] + (1,)))
+    xf = x.astype(jnp.float32)
+    if col_scale is not None:
+        xf = xf * col_scale.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127)
     return q.astype(jnp.int8), scale
 
 
@@ -158,8 +179,8 @@ def _switchback_bwd(res, g):
     # W[o,i] = wq[o,i] * ws[o] and ws is constant along the contraction.
     # Quantizing the *scaled* g per token keeps the dynamic-quant error at
     # the same relative level as quantizing g directly.
-    gs = g.astype(jnp.float32) * ws[:, 0]
-    gq, sg = quantize_activation_rows(gs)
+    # col-scale fused into the quant pass (g * ws, per-out-channel)
+    gq, sg = quantize_activation_rows(g, col_scale=ws[:, 0])
     acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
@@ -172,6 +193,157 @@ def _switchback_bwd(res, g):
 
 
 switchback_linear.defvjp(_switchback_fwd, _switchback_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Cached-weight SwitchBack — optimizer-fused weight quantization.
+#
+# ``switchback_linear`` re-quantizes W from the bf16 master inside every
+# forward: a full HBM read of W (+ the amax reduction) per step per layer.
+# But the optimizer already has the NEW W in registers while writing it —
+# the Pallas AdamW kernel (core/pallas/adamw.py) can emit the int8 copy and
+# per-row scales as extra outputs for free (one extra 1-byte/param store),
+# and the next forward just loads them.  Semantics are bit-identical to
+# switchback_linear: the cache always holds quantize_weight(current W).
+# The scale vector here is 1-D [out] (the kernel emits rows).
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def switchback_linear_cached(x: jax.Array, w: jax.Array,
+                             wq: jax.Array, ws: jax.Array) -> jax.Array:
+    """y = x @ dequant(wq, ws)^T on the int8 MXU; w (the bf16 master) is
+    passed only so autodiff has a leaf to attach dW to.  wq: int8 [out, in];
+    ws: f32 [out]."""
+    xq, sx = quantize_activation_rows(x)
+    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * ws
+    return y.astype(x.dtype)
+
+
+def _switchback_cached_fwd(x, w, wq, ws):
+    xq, sx = quantize_activation_rows(x)
+    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = (acc.astype(jnp.float32) * sx * ws).astype(x.dtype)
+    return y, (x, wq, ws, jnp.zeros((), w.dtype))
+
+
+def _switchback_cached_bwd(res, g):
+    import numpy as np
+    x, wq, ws, w_proto = res
+    gq, sg = quantize_activation_rows(g, col_scale=ws)
+    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
+    g2 = g.reshape(-1, g.shape[-1])
+    x2 = x.reshape(-1, x.shape[-1])
+    dw = jax.lax.dot_general(g2, x2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(w_proto.dtype)
+    return (dx, dw,
+            np.zeros(wq.shape, jax.dtypes.float0),   # int8 primal: no grad
+            jnp.zeros_like(ws))
+
+
+switchback_linear_cached.defvjp(_switchback_cached_fwd, _switchback_cached_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-dW variants: same int8 fwd/dx as above, dW through the per-block-
+# quant kernel (core.pallas.int8_dw) — selected at forward-trace time by
+# core.nn.linear when int8_training_ctx(dw_int8=True).
+# ---------------------------------------------------------------------------
+
+def _pallas_dw_ok(t: int, o: int, i: int) -> bool:
+    from .pallas.int8_dw import dw_supported
+    if not dw_supported(t, o, i):
+        return False
+    import os
+    if os.environ.get("GENHANCER_PALLAS_INTERPRET", "0") == "1":
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _dw(g, x, out_dtype):
+    """dW = g^T @ x over flattened tokens, int8 Pallas when supported."""
+    g2 = g.reshape(-1, g.shape[-1])
+    x2 = x.reshape(-1, x.shape[-1])
+    if _pallas_dw_ok(g2.shape[0], g2.shape[1], x2.shape[1]):
+        from .pallas.int8_dw import int8_dw
+        return int8_dw(g2, x2, out_dtype=out_dtype)
+    return jax.lax.dot_general(g2, x2, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+@jax.custom_vjp
+def switchback_linear_dw(x: jax.Array, w: jax.Array) -> jax.Array:
+    """switchback_linear with the Pallas int8 per-block dW."""
+    return switchback_linear(x, w)
+
+
+def _switchback_dw_bwd(res, g):
+    x, wq, ws, w_proto = res
+    # col-scale fused into the quant pass (g * ws, per-out-channel)
+    gq, sg = quantize_activation_rows(g, col_scale=ws[:, 0])
+    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
+    return dx, _dw(g, x, w_proto.dtype)
+
+
+switchback_linear_dw.defvjp(_switchback_fwd, _switchback_dw_bwd)
+
+
+@jax.custom_vjp
+def switchback_linear_cached_dw(x, w, wq, ws):
+    """switchback_linear_cached with the Pallas int8 per-block dW."""
+    return switchback_linear_cached(x, w, wq, ws)
+
+
+def _switchback_cached_dw_bwd(res, g):
+    import numpy as np
+    x, wq, ws, w_proto = res
+    gq, sg = quantize_activation_rows(g, col_scale=ws)
+    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
+    return (dx, _dw(g, x, w_proto.dtype),
+            np.zeros(wq.shape, jax.dtypes.float0),
+            jnp.zeros_like(ws))
+
+
+switchback_linear_cached_dw.defvjp(_switchback_cached_fwd,
+                                   _switchback_cached_dw_bwd)
+
+
+# Which flat param paths participate in the optimizer-fused quant cache.
+# MUST mirror core.nn.linear's switchback dispatch (int8_training_ctx
+# min_dim) or the cache would silently cover a different layer set.
+SWITCHBACK_MIN_DIM = 512
+
+
+def switchback_cache_paths(flat_params, prefix: str = "dit.") -> tuple:
+    """Flat ``.weight`` paths that the int8 DiT forward routes through
+    SwitchBack — the leaves whose quantized copies the optimizer maintains."""
+    out = []
+    for path, leaf in flat_params.items():
+        if (path.startswith(prefix) and path.endswith(".weight")
+                and getattr(leaf, "ndim", 0) == 2
+                and min(leaf.shape) >= SWITCHBACK_MIN_DIM):
+            out.append(path)
+    return tuple(sorted(out))
+
+
+def quantize_cache(flat_params, paths) -> dict:
+    """{path: (wq int8 [o,i], ws f32 [o])} for the given .weight paths."""
+    cache = {}
+    for p in paths:
+        wq, ws = quantize_weight(flat_params[p], axis=0)
+        cache[p] = (wq, ws[:, 0])
+    return cache
 
 
 # ---------------------------------------------------------------------------
@@ -208,8 +380,8 @@ def _switchback_full_fwd(x, w):
 
 def _switchback_full_bwd(res, g):
     x, wq, ws, w_proto = res
-    gs = g.astype(jnp.float32) * ws[:, 0]
-    gq, sg = quantize_activation_rows(gs)
+    # col-scale fused into the quant pass (g * ws, per-out-channel)
+    gq, sg = quantize_activation_rows(g, col_scale=ws[:, 0])
     acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)

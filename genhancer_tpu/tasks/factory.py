@@ -103,6 +103,7 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   scale_factor=float(cfg.get("scale_factor", 1.0)),
                   guidance=float(cfg.get("guidance", 4.0)),
                   remat=bool(cfg.get("remat") or False),
+                  remat_policy=cfg.get("remat_policy", "full"),
                   compute_dtype=compute_dtype,
                   dit_param_dtype=compute_dtype,
                   # Default bf16 for the frozen VAE encode (documented
@@ -121,8 +122,12 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                                else "none"),
                   vae_quant=cfg.get("vae_quant", "none"),
                   # SwitchBack int8 DiT training (core.quant): "int8" (bf16
-                  # dW) or "int8_full" (experimental int8 dW)
-                  dit_quant=cfg.get("dit_quant", "none"))
+                  # dW), "int8_dw" (Pallas per-block-quant dW), or
+                  # "int8_full" (experimental XLA int8 dW)
+                  dit_quant=cfg.get("dit_quant", "none"),
+                  # int8 weight cache pays only when the pallas optimizer
+                  # emits it fused (see TaskSpec.dit_quant_cache)
+                  dit_quant_cache=cfg.get("fused_optimizer") == "pallas")
 
     data_kwargs = dict(dc)
     data_kwargs.pop("img_size", None)

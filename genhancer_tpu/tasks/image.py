@@ -52,6 +52,10 @@ class TaskSpec:
     lora_bias: str = "lora_only"
     lora_dropout: float = 0.0          # reference stage-2 configs: 0.1
     remat: bool = False
+    # per-block jax.checkpoint policy when remat is on (models/dit.py
+    # REMAT_POLICIES): "full" recomputes everything, "save_attn" stores each
+    # block's attention output, "dots" saves all non-batch matmul outputs
+    remat_policy: str = "full"
     compute_dtype: object = jnp.bfloat16
     # Reference stores DiT params in bf16 (train_SigLIP_stage1.py:132) and
     # runs AdamW directly on them; bf16 halves HBM for params+moments+grads.
@@ -64,9 +68,16 @@ class TaskSpec:
     vae_quant: str = "none"           # "none" | "int8"
     # SwitchBack int8 training for the (trainable) DiT: int8 fwd + int8 dx,
     # bf16 dW (core.quant.switchback_linear, arXiv:2304.13013).  "int8_full"
-    # additionally runs dW on the int8 MXU with per-channel scales
-    # (experimental, Jetfire-style INT8 data flow).
-    dit_quant: str = "none"           # "none" | "int8" | "int8_full"
+    # additionally runs dW on the int8 MXU with per-channel scales via XLA
+    # (experimental); "int8_dw" runs dW through the Pallas per-block-quant
+    # kernel (core.pallas.int8_dw — fused quant, finer scales).
+    dit_quant: str = "none"           # "none" | "int8" | "int8_full" | "int8_dw"
+    # Optimizer-maintained int8 weight cache (core.quant.switchback_linear_
+    # cached): only pays when the optimizer emits it fused (fused_optimizer:
+    # pallas + emit_quant) — with the optax chain the XLA cache refresh is
+    # separate full passes over W (measured +33 ms at ~1B params), so the
+    # factory enables this only alongside the pallas optimizer.
+    dit_quant_cache: bool = False
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -144,8 +155,10 @@ def trainable_predicate(spec: TaskSpec, modules) -> Callable[[str], bool]:
 
 
 def make_loss_fn(spec: TaskSpec):
-    def loss_fn(trainable, frozen, batch, key):
-        params = unflatten_params({**frozen, **trainable})
+    def loss_fn(trainable, frozen, batch, key, quant=None):
+        from ..train.state import merged_quant_flat
+        params = unflatten_params({**frozen, **trainable,
+                                   **merged_quant_flat(quant)})
         k_vae, k_t, k_noise, k_drop = jax.random.split(key, 4)
 
         if "moments" in batch:
@@ -182,8 +195,9 @@ def make_loss_fn(spec: TaskSpec):
         guidance = jnp.full((b,), spec.guidance, spec.compute_dtype)
 
         from ..core.nn import int8_training_ctx
-        with (int8_training_ctx(full=spec.dit_quant == "int8_full")
-              if spec.dit_quant in ("int8", "int8_full")
+        with (int8_training_ctx(full=spec.dit_quant == "int8_full",
+                                dw_int8=spec.dit_quant == "int8_dw")
+              if spec.dit_quant in ("int8", "int8_full", "int8_dw")
               else contextlib.nullcontext()):
             pred = dit_m.dit_forward(
                 params["dit"], spec.dit_cfg,
@@ -191,7 +205,8 @@ def make_loss_fn(spec: TaskSpec):
                 txt=cond["txt"].astype(spec.compute_dtype), txt_ids=cond["txt_ids"],
                 timesteps=t.astype(spec.compute_dtype),
                 y=cond["vec"].astype(spec.compute_dtype),
-                guidance=guidance, remat=spec.remat)
+                guidance=guidance, remat=spec.remat,
+                remat_policy=spec.remat_policy)
 
         # "valid" gates batch rows padded up to the device count (the trainer
         # pads instead of shrinking the mesh when bs % devices != 0)
@@ -208,7 +223,8 @@ def make_train_step(spec: TaskSpec, optimizer):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key):
         loss, grads = jax.value_and_grad(
-            lambda tp: loss_fn(tp, state.frozen, batch, key))(state.trainable)
+            lambda tp: loss_fn(tp, state.frozen, batch, key,
+                               state.quant))(state.trainable)
         new_state = apply_gradients(state, grads, optimizer)
         import optax
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
@@ -220,4 +236,10 @@ def create_task_state(key: jax.Array, spec: TaskSpec, optimizer,
                       tower_params=None, vae_params=None) -> TrainState:
     modules = init_modules(key, spec, tower_params, vae_params)
     pred = trainable_predicate(spec, modules)
-    return create_state(modules, pred, optimizer)
+    state = create_state(modules, pred, optimizer)
+    if spec.dit_quant_cache and spec.dit_quant in ("int8", "int8_dw"):
+        # optimizer-maintained int8 weight cache: the forward loads the
+        # quantized copy instead of re-quantizing W every step
+        from ..train.state import with_quant_cache
+        state = with_quant_cache(state)
+    return state

@@ -71,12 +71,14 @@ class VideoTaskSpec:
     lora_targets: object = "all-linear"
     lora_dropout: float = 0.0          # reference stage-2 configs: 0.1
     remat: bool = False
+    remat_policy: str = "full"           # see image.TaskSpec.remat_policy
     compute_dtype: object = jnp.bfloat16
     dit_param_dtype: object = jnp.bfloat16   # reference parity (bf16 DiT params)
     vae_dtype: object = jnp.float32          # fp32 = reference parity; bf16 = faster
     tower_quant: str = "none"                # int8 frozen tower (stage 1)
     vae_quant: str = "none"                  # int8 encoder convs
     dit_quant: str = "none"                  # switchback int8 DiT training
+    dit_quant_cache: bool = False            # optimizer-fused W quant cache
 
     @property
     def n_cond(self) -> int:
@@ -157,8 +159,10 @@ def trainable_predicate(spec: VideoTaskSpec, modules) -> Callable[[str], bool]:
 
 
 def make_loss_fn(spec: VideoTaskSpec):
-    def loss_fn(trainable, frozen, batch, key):
-        params = unflatten_params({**frozen, **trainable})
+    def loss_fn(trainable, frozen, batch, key, quant=None):
+        from ..train.state import merged_quant_flat
+        params = unflatten_params({**frozen, **trainable,
+                                   **merged_quant_flat(quant)})
         valid = batch.get("valid")    # [B] bool or None
         k_vae, k_t, k_noise, k_drop = jax.random.split(key, 4)
 
@@ -213,15 +217,17 @@ def make_loss_fn(spec: VideoTaskSpec):
 
         import contextlib
         from ..core.nn import int8_training_ctx
-        with (int8_training_ctx(full=spec.dit_quant == "int8_full")
-              if spec.dit_quant in ("int8", "int8_full")
+        with (int8_training_ctx(full=spec.dit_quant == "int8_full",
+                                dw_int8=spec.dit_quant == "int8_dw")
+              if spec.dit_quant in ("int8", "int8_full", "int8_dw")
               else contextlib.nullcontext()):
             pred = dit_m.dit_forward(
                 params["dit"], spec.dit_cfg,
                 img=xt.astype(spec.compute_dtype), img_ids=dit_in["img_ids"],
                 txt=dit_in["txt"].astype(spec.compute_dtype), txt_ids=dit_in["txt_ids"],
                 timesteps=t.astype(spec.compute_dtype),
-                y=dit_in["vec"], guidance=guidance, remat=spec.remat)
+                y=dit_in["vec"], guidance=guidance, remat=spec.remat,
+                remat_policy=spec.remat_policy)
 
         return flow.mse_loss(pred, flow.velocity_target(x1, x0), mask=valid)
 
@@ -234,7 +240,8 @@ def make_train_step(spec: VideoTaskSpec, optimizer):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key):
         loss, grads = jax.value_and_grad(
-            lambda tp: loss_fn(tp, state.frozen, batch, key))(state.trainable)
+            lambda tp: loss_fn(tp, state.frozen, batch, key,
+                               state.quant))(state.trainable)
         new_state = apply_gradients(state, grads, optimizer)
         import optax
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
@@ -246,4 +253,8 @@ def create_task_state(key: jax.Array, spec: VideoTaskSpec, optimizer,
                       tower_params=None, vae_params=None) -> TrainState:
     modules = init_modules(key, spec, tower_params, vae_params)
     pred = trainable_predicate(spec, modules)
-    return create_state(modules, pred, optimizer)
+    state = create_state(modules, pred, optimizer)
+    if spec.dit_quant_cache and spec.dit_quant in ("int8", "int8_dw"):
+        from ..train.state import with_quant_cache
+        state = with_quant_cache(state)
+    return state

@@ -104,7 +104,8 @@ def load_optimizer_state(state: TrainState, path: str) -> TrainState:
     return TrainState(trainable=state.trainable, frozen=state.frozen,
                       opt_state=jax.tree_util.tree_unflatten(treedef, new_leaves),
                       step=jax.numpy.asarray(np.asarray(sd["step"]).reshape(()),
-                                             dtype=jax.numpy.int32))
+                                             dtype=jax.numpy.int32),
+                      quant=state.quant)
 
 
 def _load_module_into(state: TrainState, prefix: str, tree) -> TrainState:
@@ -118,8 +119,13 @@ def _load_module_into(state: TrainState, prefix: str, tree) -> TrainState:
         elif k in frozen:
             frozen[k] = v.astype(frozen[k].dtype)
         # unknown keys ignored (tolerant loading, sliding-window variant :271-301)
+    quant = state.quant
+    if quant is not None:
+        # refresh the derived int8 cache from the newly loaded masters
+        from ..core.quant import quantize_cache
+        quant = quantize_cache(trainable, tuple(quant))
     return TrainState(trainable=trainable, frozen=frozen,
-                      opt_state=state.opt_state, step=state.step)
+                      opt_state=state.opt_state, step=state.step, quant=quant)
 
 
 def load_stage1_components(state: TrainState, load_dir: str, load_step: int,
@@ -196,7 +202,8 @@ def resume_latest(state: TrainState, output_dir: str, kind: str = "image"
     else:
         state = TrainState(trainable=state.trainable, frozen=state.frozen,
                            opt_state=state.opt_state,
-                           step=jax.numpy.asarray(step, jax.numpy.int32))
+                           step=jax.numpy.asarray(step, jax.numpy.int32),
+                           quant=state.quant)
     return state
 
 

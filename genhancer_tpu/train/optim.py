@@ -114,7 +114,8 @@ def fused_adamw_clip(schedule, b1: float = 0.9, b2: float = 0.999,
 
 def pallas_adamw_clip(schedule, b1: float = 0.9, b2: float = 0.999,
                       eps: float = 1e-8, weight_decay: float = 0.01,
-                      max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+                      max_grad_norm: float = 1.0,
+                      emit_quant: bool = False) -> optax.GradientTransformation:
     """clip-by-global-norm + AdamW as one in-place Pallas pass per leaf
     (core.pallas.adamw): ~14 bytes/param of HBM traffic vs the optax chain's
     staged temporaries.
@@ -123,7 +124,12 @@ def pallas_adamw_clip(schedule, b1: float = 0.9, b2: float = 0.999,
     the NEW PARAMETERS wrapped in ``_NewParams`` (computing a delta would
     force an extra full-tensor subtraction + apply pass);
     ``train.state.apply_gradients`` unwraps it instead of calling
-    ``optax.apply_updates``."""
+    ``optax.apply_updates``.
+
+    ``emit_quant``: also emit the int8-quantized copy + per-row scales of
+    every SwitchBack-eligible DiT weight from inside the update kernel (the
+    new W is already in registers — the next forward's re-quantization HBM
+    pass disappears; core.quant.switchback_linear_cached consumes them)."""
 
     def init(params):
         return FusedAdamWState(count=jnp.zeros((), jnp.int32),
@@ -134,12 +140,14 @@ def pallas_adamw_clip(schedule, b1: float = 0.9, b2: float = 0.999,
         if params is None:
             raise ValueError("pallas_adamw_clip requires params")
         from ..core.pallas.adamw import fused_adamw_apply
+        from ..core.quant import switchback_cache_paths
         count = state.count + 1
-        new_p, mu, nu = fused_adamw_apply(
+        quant_paths = (switchback_cache_paths(params) if emit_quant else ())
+        new_p, mu, nu, quant = fused_adamw_apply(
             params, state.mu, state.nu, grads, count, schedule,
             b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
-            max_grad_norm=max_grad_norm)
-        updates = _NewParams(new_p)
+            max_grad_norm=max_grad_norm, quant_paths=quant_paths)
+        updates = _NewParams(new_p, quant if emit_quant else None)
         return updates, FusedAdamWState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init, update)
@@ -150,14 +158,17 @@ class _NewParams:
 
     ``train.state.apply_gradients`` unwraps it instead of calling
     ``optax.apply_updates`` — avoiding an extra read+write pass over all
-    params (the whole point of the fused in-place kernel)."""
+    params (the whole point of the fused in-place kernel).  ``quant``
+    optionally carries the kernel-emitted int8 weight cache."""
 
-    def __init__(self, params):
+    def __init__(self, params, quant=None):
         self.params = params
+        self.quant = quant
 
 
 def make_optimizer(cfg, total_steps: Optional[int] = None,
-                   fused: Optional[bool] = None) -> optax.GradientTransformation:
+                   fused: Optional[bool] = None,
+                   emit_quant: bool = False) -> optax.GradientTransformation:
     """cfg: a train Config (train.config) with the reference optimizer knobs.
 
     ``fused`` (or config key ``fused_optimizer``) selects the implementation:
@@ -179,7 +190,8 @@ def make_optimizer(cfg, total_steps: Optional[int] = None,
         fused = cfg.get("fused_optimizer", False)
     max_gn = float(cfg.get("max_grad_norm", 1.0))
     if fused in ("pallas",):
-        return pallas_adamw_clip(schedule, max_grad_norm=max_gn, **kw)
+        return pallas_adamw_clip(schedule, max_grad_norm=max_gn,
+                                 emit_quant=emit_quant, **kw)
     if fused in (True, "xla"):
         return fused_adamw_clip(schedule, max_grad_norm=max_gn, **kw)
     return optax.chain(

@@ -50,9 +50,15 @@ class TrainState:
     frozen: Dict[str, jax.Array]
     opt_state: Any
     step: jax.Array
+    # optimizer-maintained int8 weight cache {path: (wq, ws)} for the
+    # SwitchBack DiT linears (core.quant.switchback_linear_cached); None when
+    # int8 training is off.  Derived state: never checkpointed — rebuilt from
+    # the masters via with_quant_cache after create/load.
+    quant: Any = None
 
     def tree_flatten(self):
-        return (self.trainable, self.frozen, self.opt_state, self.step), None
+        return (self.trainable, self.frozen, self.opt_state, self.step,
+                self.quant), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -92,7 +98,38 @@ def apply_gradients(state: TrainState, grads, optimizer) -> TrainState:
     if isinstance(updates, _NewParams):
         # pallas_adamw_clip already produced the new params in-place
         new_trainable = updates.params
+        new_quant = updates.quant   # fused int8 emission (may be None)
     else:
         new_trainable = optax.apply_updates(state.trainable, updates)
+        new_quant = None
+    if state.quant is not None and new_quant is None:
+        # cache enabled but the optimizer impl doesn't emit it fused —
+        # refresh from the new masters (XLA pass; correct, not free)
+        from ..core.quant import quantize_cache
+        new_quant = quantize_cache(new_trainable, tuple(state.quant))
     return TrainState(trainable=new_trainable, frozen=state.frozen,
-                      opt_state=new_opt, step=state.step + 1)
+                      opt_state=new_opt, step=state.step + 1,
+                      quant=new_quant)
+
+
+def with_quant_cache(state: TrainState, prefix: str = "dit.") -> TrainState:
+    """Fill the int8 SwitchBack weight cache from the current masters
+    (create/resume entry point; apply_gradients keeps it fresh afterwards)."""
+    from ..core.quant import quantize_cache, switchback_cache_paths
+    paths = switchback_cache_paths(state.trainable, prefix)
+    if not paths:
+        return state
+    return state.replace(quant=quantize_cache(state.trainable, paths))
+
+
+def merged_quant_flat(quant) -> Dict[str, jax.Array]:
+    """Flatten the cache to loss-side param keys: ``...weight`` ->
+    ``...weight_sb_q`` / ``...weight_sb_scale`` (core.nn.linear dispatch)."""
+    out: Dict[str, jax.Array] = {}
+    if not quant:
+        return out
+    for path, (wq, ws) in quant.items():
+        stem = path[: -len(".weight")]
+        out[stem + ".weight_sb_q"] = wq
+        out[stem + ".weight_sb_scale"] = ws
+    return out

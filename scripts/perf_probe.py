@@ -45,7 +45,15 @@ def main():
     ap.add_argument("--optimizer", type=str, default="chained",
                     choices=["fused", "chained", "pallas"])
     ap.add_argument("--dit-quant", type=str, default="none",
-                    choices=["none", "int8", "int8_full"])
+                    choices=["none", "int8", "int8_full", "int8_dw"])
+    ap.add_argument("--remat-policy", type=str, default=None,
+                    choices=[None, "full", "save_attn", "dots"],
+                    help="enable per-block remat with this policy (default "
+                         "off at image scale)")
+    ap.add_argument("--quant-cache", type=str, default="auto",
+                    choices=["auto", "off"],
+                    help="off: in-forward W quantization (no optimizer-"
+                         "maintained cache) — the round-2 behavior")
     args = ap.parse_args()
 
     from genhancer_tpu.models import dit as dit_m
@@ -75,7 +83,10 @@ def main():
 
     cfg = Config(dict(TRAIN_DEFAULTS))
     optimizer = optim.make_optimizer(
-        cfg, fused={"fused": True, "chained": False, "pallas": "pallas"}[args.optimizer])
+        cfg, fused={"fused": True, "chained": False, "pallas": "pallas"}[args.optimizer],
+        emit_quant=(args.dit_quant in ("int8", "int8_dw")
+                    and args.optimizer == "pallas"
+                    and args.quant_cache != "off"))
 
     rng = np.random.default_rng(0)
     batch = {"image": jnp.asarray(
@@ -262,7 +273,11 @@ def main():
     if want("step_pre"):
         # precomputed-conditioning step (data.precompute): DiT + projectors +
         # optimizer only; batch holds VAE moments + tower class tokens
-        spec_p = make_spec(dit_quant=args.dit_quant)
+        spec_p = make_spec(dit_quant=args.dit_quant,
+                           dit_quant_cache=(args.quant_cache != "off"
+                                            and args.optimizer == "pallas"),
+                           remat=args.remat_policy is not None,
+                           remat_policy=args.remat_policy or "full")
         h, w = spec_p.latent_hw
         zc = 2 * spec_p.vae_cfg.z_channels
         pre_batch = {

@@ -141,3 +141,132 @@ class TestInt8Stage1Step:
             assert np.isfinite(losses[quantized])
         # same init/key/noise; only the frozen-path quant noise differs
         assert abs(losses[True] - losses[False]) / losses[False] < 0.08, losses
+
+
+class TestPallasInt8DW:
+    """Per-block-quant dW kernel (core/pallas/int8_dw): exact scale factoring
+    per t-block, finer granularity than the XLA per-column variant."""
+
+    def test_close_to_exact_and_finer_than_global_cols(self, rng):
+        import os
+        from genhancer_tpu.core.pallas import int8_dw as m
+        from genhancer_tpu.core import quant as Q
+        T, O, I = 777, 384, 256
+        # per-channel magnitude spread stresses the scale granularity
+        g = jnp.asarray(rng.standard_normal((T, O))
+                        * np.exp(rng.standard_normal((1, O))), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((T, I)), jnp.float32)
+        ref = np.asarray(g.T @ x)
+        dw = np.asarray(m.int8_dw(g, x, block_t=256, block_o=128, block_i=128))
+        rel = np.linalg.norm(dw - ref) / np.linalg.norm(ref)
+        assert rel < 0.02, rel
+        cos = float(np.sum(dw * ref)
+                    / (np.linalg.norm(dw) * np.linalg.norm(ref)))
+        assert cos > 0.999, cos
+
+    def test_ragged_t_padding_exact(self, rng):
+        """T not a multiple of block_t: padded rows must contribute nothing
+        (compare against the same kernel at an exactly-dividing block)."""
+        from genhancer_tpu.core.pallas import int8_dw as m
+        T, O, I = 300, 128, 128
+        g = jnp.asarray(rng.standard_normal((T, O)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((T, I)), jnp.float32)
+        ref = np.asarray(g.T @ x)
+        dw = np.asarray(m.int8_dw(g, x, block_t=256, block_o=128, block_i=128))
+        rel = np.linalg.norm(dw - ref) / np.linalg.norm(ref)
+        assert rel < 0.02, rel
+
+    def test_switchback_dw_grads(self, rng):
+        """switchback_linear_dw: dx matches switchback_linear exactly; dw
+        close to the bf16 dW."""
+        import os
+        os.environ["GENHANCER_PALLAS_INTERPRET"] = "1"
+        from genhancer_tpu.core import quant as Q
+        x = jnp.asarray(rng.standard_normal((2, 64, 512)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((640, 512)) * 0.05, jnp.float32)
+
+        g_ref = jax.grad(lambda a, b: jnp.sum(Q.switchback_linear(a, b) ** 2),
+                         argnums=(0, 1))(x, w)
+        g_dw = jax.grad(lambda a, b: jnp.sum(Q.switchback_linear_dw(a, b) ** 2),
+                        argnums=(0, 1))(x, w)
+        np.testing.assert_array_equal(np.asarray(g_ref[0]), np.asarray(g_dw[0]))
+        a, b = np.asarray(g_dw[1]), np.asarray(g_ref[1])
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 0.02, rel
+
+
+class TestPallasRowQuant:
+    """Single-pass row-quant kernel (core/pallas/rowquant): bit parity with
+    the XLA reference math, fused col-scale, and SPMD partitioning."""
+
+    def _ref(self, x, cs=None):
+        xf = np.asarray(x, np.float32)
+        if cs is not None:
+            xf = xf * np.asarray(cs, np.float32)
+        amax = np.max(np.abs(xf), axis=-1, keepdims=True)
+        s = np.maximum(amax, 1e-12) / 127.0
+        q = np.clip(np.round(xf / s), -127, 127)
+        return q.astype(np.int8), s
+
+    def _assert_quant_close(self, q, s, rq, rs):
+        """XLA strength-reduces /127 to *(1/127) under jit -> scales can
+        differ by 1 ulp, which may flip a handful of rounded int8 values by
+        +-1 (the eager math is bit-equal; proven in quantize_weight tests)."""
+        np.testing.assert_allclose(np.asarray(s), rs[:, 0], rtol=2e-7)
+        d = np.abs(np.asarray(q).astype(np.int32) - rq.astype(np.int32))
+        assert d.max() <= 1, d.max()
+        assert (d != 0).mean() < 5e-3, (d != 0).mean()
+
+    def test_parity_with_reference_math(self, rng):
+        from genhancer_tpu.core.pallas import rowquant as m
+        x = jnp.asarray(rng.standard_normal((160, 256)), jnp.float32)
+        q, s = m.rowquant(x)
+        rq, rs = self._ref(x)
+        self._assert_quant_close(q, s, rq, rs)
+
+    def test_col_scale_fused(self, rng):
+        from genhancer_tpu.core.pallas import rowquant as m
+        x = jnp.asarray(rng.standard_normal((96, 384)), jnp.bfloat16)
+        cs = jnp.asarray(np.exp(rng.standard_normal(384)), jnp.float32)
+        q, s = m.rowquant(x, cs)
+        rq, rs = self._ref(x, cs)
+        self._assert_quant_close(q, s, rq, rs)
+
+    def test_ragged_rows(self, rng):
+        from genhancer_tpu.core.pallas import rowquant as m
+        # t=72 with block 32 -> ragged last block; every valid row exact
+        x = jnp.asarray(rng.standard_normal((72, 128)), jnp.float32)
+        q, s = m.rowquant(x)
+        rq, rs = self._ref(x)
+        self._assert_quant_close(q, s, rq, rs)
+
+    def test_quantize_activation_rows_dispatch_parity(self, rng):
+        """The public entry must give identical results whether the kernel
+        dispatches (big 128-multiple shapes) or not (fallback)."""
+        from genhancer_tpu.core import quant as Q
+        x3 = jnp.asarray(rng.standard_normal((4, 40, 256)), jnp.bfloat16)
+        q, s = Q.quantize_activation_rows(x3)
+        assert q.shape == x3.shape and s.shape == (4, 40, 1)
+        rq, rs = self._ref(np.asarray(x3.astype(jnp.float32)).reshape(160, 256))
+        self._assert_quant_close(np.asarray(q).reshape(160, 256),
+                                 np.asarray(s).reshape(160), rq, rs)
+
+    def test_spmd_dp_sharded_rows(self, rng):
+        """Under a dp-sharded mesh the wrapped kernel must partition over
+        rows and match the single-device result."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from genhancer_tpu.core.pallas import rowquant as m
+        from genhancer_tpu.parallel import mesh as mesh_m
+        mesh = mesh_m.make_mesh(8)
+        x = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+        want_q, want_s = m.rowquant(x)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+        @jax.jit
+        def f(a):
+            return m.rowquant_spmd(a)
+
+        q, s = f(xs)
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(want_q))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(want_s))
