@@ -192,5 +192,7 @@ def evaluate_model_dir(model_dir: str, benchmark_dir: str, tower: str = "openai_
     params, cfg = registry.load_tower(kind, cfg, model_dir)
     tok_dir = base_model_dir or model_dir
     tokenize = default_tokenizer(tok_dir, kind)
+    # preprocess at the LOADED tower's resolution (the reference builds its
+    # processor from the model dir, so the export's size is authoritative)
     return evaluate(params, cfg, kind, benchmark_dir, tokenize,
-                    image_size=clip_image_size, results_csv=results_csv)
+                    image_size=cfg.vision.image_size, results_csv=results_csv)

@@ -25,10 +25,27 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..core import nn
 from ..core.attention import attention
 from ..core.rope import multi_axis_rope
+
+
+# Remat policies for the per-block jax.checkpoint wrap (remat=True).  The
+# all-or-nothing default recomputes the whole block in the backward —
+# including the attention forward, the block's most expensive op at long L.
+# "save_attn" stores each block's attention output (tagged via
+# checkpoint_name) so the backward re-runs only the cheap elementwise/matmul
+# prologue: +2*L*hidden bytes/block of residency traded against one flash
+# forward per block.  "dots" saves every non-batch matmul output (XLA
+# dots_with_no_batch_dims_saveable) — heavier residency, near-zero recompute.
+REMAT_POLICIES = {
+    "full": None,
+    "save_attn": lambda: jax.checkpoint_policies.save_only_these_names(
+        "attn_out"),
+    "dots": lambda: jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+}
 
 
 @dataclass(frozen=True)
@@ -173,7 +190,7 @@ def _double_block(p, img, txt, vec, cos, sin, num_heads, ip=None):
     q = jnp.concatenate([tq, iq], axis=1)
     k = jnp.concatenate([tk, ik], axis=1)
     v = jnp.concatenate([tv, iv], axis=1)
-    attn_out = attention(q, k, v, cos, sin)
+    attn_out = checkpoint_name(attention(q, k, v, cos, sin), "attn_out")
     txt_len = txt.shape[1]
     txt_attn, img_attn = attn_out[:, :txt_len], attn_out[:, txt_len:]
 
@@ -205,7 +222,7 @@ def _single_block(p, x, vec, cos, sin, num_heads, hidden_size, mlp_hidden,
     qkv, mlp = lin1[..., : 3 * hidden_size], lin1[..., 3 * hidden_size:]
     q, k, v = _split_qkv(qkv, num_heads)
     q, k = _qk_norm(p["norm"], q, k, v)
-    attn_out = attention(q, k, v, cos, sin)
+    attn_out = checkpoint_name(attention(q, k, v, cos, sin), "attn_out")
     if ip is not None:
         from .ip_adapter import ip_attention
         block_ip, image_proj, ip_scale = ip
@@ -221,6 +238,7 @@ def dit_forward(params: dict, cfg: DiTConfig, *,
                 timesteps: jax.Array, y: jax.Array,
                 guidance: Optional[jax.Array] = None,
                 remat: bool = False,
+                remat_policy: Optional[str] = None,
                 image_proj: Optional[jax.Array] = None,
                 ip_params: Optional[dict] = None,
                 ip_scale: float = 1.0) -> jax.Array:
@@ -248,8 +266,10 @@ def dit_forward(params: dict, cfg: DiTConfig, *,
     dblock = _double_block
     sblock = _single_block
     if remat:
-        dblock = jax.checkpoint(dblock, static_argnums=(6,))
-        sblock = jax.checkpoint(sblock, static_argnums=(5, 6, 7))
+        mk = REMAT_POLICIES[remat_policy or "full"]
+        policy = mk() if mk else None
+        dblock = jax.checkpoint(dblock, static_argnums=(6,), policy=policy)
+        sblock = jax.checkpoint(sblock, static_argnums=(5, 6, 7), policy=policy)
 
     use_ip = image_proj is not None and ip_params is not None
     if use_ip:

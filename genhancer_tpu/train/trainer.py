@@ -133,7 +133,12 @@ class Trainer:
                 int(cfg.get_path("data_config.train_batch_size", 16)), self.accum)
             max_steps = int(int(cfg.get("num_train_epochs", 1)) * per_epoch)
         self.max_steps = int(max_steps)
-        self.optimizer = optim.make_optimizer(cfg, total_steps=self.max_steps)
+        # pallas fused optimizer can emit the int8 SwitchBack weight cache
+        # from inside the update kernel (core/pallas/adamw.py)
+        emit_quant = (cfg.get("dit_quant", "none") in ("int8", "int8_dw")
+                      and cfg.get("fused_optimizer") == "pallas")
+        self.optimizer = optim.make_optimizer(cfg, total_steps=self.max_steps,
+                                              emit_quant=emit_quant)
 
         key = jax.random.key(int(cfg.get("seed", 0)))
         self.state = create_state(key, self.spec, self.optimizer,
@@ -147,7 +152,12 @@ class Trainer:
             log.info("loaded stage-1 components from %s step %s",
                      cfg["load_dir"], cfg["load_step"])
 
-        if cfg.get("resume_from_checkpoint") == "latest":
+        # ``checkpoint_backend``: "torch" (reference artifact layout, gathers
+        # to process 0) | "orbax" (sharded save, every host writes its own
+        # shards — train/orbax_ckpt.py)
+        self.ckpt_backend = str(cfg.get("checkpoint_backend", "torch"))
+        if (cfg.get("resume_from_checkpoint") == "latest"
+                and self.ckpt_backend == "torch"):
             before = int(self.state.step)
             self.state = ckpt.resume_latest(self.state, self.output_dir, self.ckpt_kind)
             if int(self.state.step) != before:
@@ -173,6 +183,17 @@ class Trainer:
             # stay replicated; XLA inserts the slice/all-gather pattern)
             self.state = self.state.replace(
                 opt_state=mesh_m.shard_over_data(self.state.opt_state, self.mesh))
+
+        # orbax backend resumes AFTER sharding: restore places each shard
+        # directly onto the live state's sharding (no gather / re-shard)
+        if (self.ckpt_backend == "orbax"
+                and cfg.get("resume_from_checkpoint") == "latest"):
+            from . import orbax_ckpt
+            ls = orbax_ckpt.latest_step(self.output_dir)
+            if ls is not None and ls > int(self.state.step):
+                self.state = orbax_ckpt.restore_sharded(
+                    self.state, self.output_dir, ls)
+                log.info("resumed (orbax) from step %d", ls)
 
         from ..tasks.image import make_loss_fn as image_loss
         from ..tasks.video import make_loss_fn as video_loss
@@ -251,17 +272,38 @@ class Trainer:
         return False
 
     def _checkpoint(self, step: int) -> None:
-        state = self.state
+        # the int8 weight cache is derived state (rebuilt from the masters on
+        # resume) — never snapshot/fetch its ~1 byte/param to host
+        state = self.state.replace(quant=None)
+        if self.ckpt_backend == "orbax":
+            # collective sharded save: every host writes its own shards, no
+            # process-0 gather (train/orbax_ckpt.py).  Stage-2 parity
+            # artifacts (HF export) still go through the torch writer below.
+            from . import orbax_ckpt
+            orbax_ckpt.save_sharded(state, self.output_dir, step)
+            if self.is_main:
+                limit = int(self.cfg.get("checkpoints_total_limit") or 0)
+                if limit:
+                    pruned = orbax_ckpt.prune(self.output_dir, limit)
+                    if pruned:
+                        log.info("pruned old orbax checkpoints: %s", pruned)
+                log.info("saved orbax checkpoint at step %d", step)
+            if not self.spec.stage.startswith("stage2"):
+                return
+            # fall through only for the small stage-2 HF export artifact
+
         if jax.process_count() > 1:
             # multi-host: gathering sharded leaves (ZeRO-1 moments, TP
             # params) is collective — ALL processes run it; only process 0
             # then pays the d2h fetch of the replicated rest and writes
             from .async_ckpt import gather_sharded
-            state = gather_sharded(self.state)
+            state = gather_sharded(state)
         if not self.is_main:
             return
+        torch_artifacts = self.ckpt_backend != "orbax"
         def write(state):
-            ckpt.save_stage1(state, self.output_dir, step, self.ckpt_kind)
+            if torch_artifacts:
+                ckpt.save_stage1(state, self.output_dir, step, self.ckpt_kind)
             if self.spec.stage.startswith("stage2"):
                 out = os.path.join(self.output_dir, hf_export_name(self.cfg, step))
                 base_cfg = (self.spec.tower_cfg.to_hf()
@@ -269,12 +311,13 @@ class Trainer:
                 ckpt.export_hf_tower(state, out,
                                      base_config=base_cfg,
                                      base_model_dir=self.cfg.get_path("clip_config.model_dir"))
-            limit = int(self.cfg.get("checkpoints_total_limit") or 0)
-            if limit:
-                pruned = ckpt.prune_checkpoints(self.output_dir, limit)
-                if pruned:
-                    log.info("pruned old checkpoints: %s", pruned)
-            log.info("saved checkpoint at step %d", step)
+            if torch_artifacts:
+                limit = int(self.cfg.get("checkpoints_total_limit") or 0)
+                if limit:
+                    pruned = ckpt.prune_checkpoints(self.output_dir, limit)
+                    if pruned:
+                        log.info("pruned old checkpoints: %s", pruned)
+                log.info("saved checkpoint at step %d", step)
 
         self.ckpt_writer.save(state, write)
 

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--quant", type=str, default="none",
                     choices=["none", "int8"])
+    ap.add_argument("--remat-policy", type=str, default="full",
+                    choices=["full", "save_attn", "dots"])
     args = ap.parse_args()
 
     from genhancer_tpu.models import dit as dit_m, vae as vae_m
@@ -41,6 +43,7 @@ def main():
         tower_cfg=clip_m.CLIP_VARIANTS["clip-vit-large-patch14-336"],
         compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16,
         vae_dtype=jnp.bfloat16, remat=True,   # trainer auto-remat for long L
+        remat_policy=args.remat_policy,
         tower_quant=q, vae_quant=q, dit_quant=q)
 
     optimizer = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
@@ -66,7 +69,8 @@ def main():
     ms = (time.perf_counter() - t0) / args.iters * 1000.0
     print(json.dumps({
         "mode": args.mode, "batch": args.batch, "img": args.img,
-        "quant": q, "step_ms": round(ms, 2),
+        "quant": q, "remat_policy": args.remat_policy,
+        "step_ms": round(ms, 2),
         "samples_per_sec": round(args.batch / ms * 1000.0, 2),
     }), flush=True)
 

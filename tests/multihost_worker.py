@@ -106,6 +106,29 @@ def main():
     fresh, metrics = step_fn(fresh, batch, jax.random.key(2))
     losses.append(float(metrics["loss"]))
 
+    # orbax backend round-trip under the SAME multi-process topology: a
+    # fully collective sharded save (every host writes its own ZeRO-1 moment
+    # shards, no gather) and a restore landing on the live shardings —
+    # bit parity with the in-memory state (train/orbax_ckpt.py, VERDICT #7)
+    from genhancer_tpu.train import orbax_ckpt
+    orbax_ckpt.save_sharded(state, outdir, 99)
+    other = image_task.create_task_state(jax.random.key(1), spec, optimizer)
+    other = mesh_m.replicate(other, mesh)
+    other = other.replace(
+        opt_state=mesh_m.shard_over_data(other.opt_state, mesh))
+    restored = orbax_ckpt.restore_sharded(other, outdir, 99)
+    for k in state.trainable:
+        a = np.asarray(jax.device_get(restored.trainable[k])).astype(np.float32)
+        b = np.asarray(jax.device_get(state.trainable[k])).astype(np.float32)
+        assert np.array_equal(a, b), f"orbax trainable mismatch at {k}"
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+        from jax.experimental import multihost_utils as mh
+        ga = np.asarray(mh.process_allgather(a, tiled=True)).astype(np.float32)
+        gb = np.asarray(mh.process_allgather(b, tiled=True)).astype(np.float32)
+        assert np.array_equal(ga, gb), "orbax opt_state mismatch"
+
     with open(os.path.join(outdir, f"result.{nprocs}proc.{proc_id}.json"), "w") as f:
         json.dump({"losses": losses, "step": int(fresh.step)}, f)
     print("OK", proc_id, losses)

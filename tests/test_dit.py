@@ -72,6 +72,29 @@ class TestDiT:
         out_b = D.dit_forward(params, TINY, **inp, remat=True)
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("policy", ["save_attn", "dots"])
+    def test_remat_policy_grads_match_full(self, policy):
+        """Remat policies change what's saved, never the math: loss and grads
+        must match the all-or-nothing remat bit-for-bit (same f32 ops)."""
+        params = D.init_dit(jax.random.key(4), TINY)
+        inp = make_inputs(TINY)
+
+        def loss_fn(p, pol):
+            return jnp.mean(D.dit_forward(p, TINY, **inp, remat=True,
+                                          remat_policy=pol) ** 2)
+
+        l_full, g_full = jax.jit(
+            jax.value_and_grad(loss_fn), static_argnums=1)(params, "full")
+        l_p, g_p = jax.jit(
+            jax.value_and_grad(loss_fn), static_argnums=1)(params, policy)
+        np.testing.assert_allclose(float(l_full), float(l_p), rtol=1e-6)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g_full),
+                jax.tree_util.tree_leaves_with_path(g_p)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+                err_msg=jax.tree_util.keystr(pa))
+
     @pytest.mark.slow
     def test_gradients_flow_everywhere(self):
         params = D.init_dit(jax.random.key(2), TINY)
