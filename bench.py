@@ -28,11 +28,16 @@ and throughput is weight-independent):
     where one cold run pays the whole build.
 
 Default configuration is the shipped TPU-fast stack: int8 frozen tower/VAE
-(weight-static/activation-dynamic, core/quant.py), SwitchBack int8 DiT
-training with the optimizer-maintained int8 weight cache emitted by the
-fused Pallas AdamW (core/pallas/adamw.py), BENCH_QUANT=int8_dw additionally
-routes dW through the Pallas per-block-quant kernel; BENCH_QUANT=none gives
-the bf16 reference-parity path.
+(weight-static/activation-dynamic, core/quant.py) and full-int8 SwitchBack
+DiT training — int8 fwd + input-grad from the optimizer-maintained weight
+cache emitted by the fused Pallas AdamW (core/pallas/adamw.py), and the
+weight gradient on the int8 MXU with exact per-channel scale factoring
+(core/quant.py switchback_linear_full_cached).  Loss trajectories at this
+exact model scale track bf16 within noise over 300 steps
+(scripts/loss_track.py; tail-mean ratio 0.91x vs exact — inside the
+run-to-run band).  BENCH_QUANT=int8 falls back to bf16 dW (the
+conservative SwitchBack of arXiv:2304.13013); BENCH_QUANT=none gives the
+bf16 reference-parity path.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
@@ -142,7 +147,8 @@ def main():
     batch = int(os.environ.get("BENCH_BS", "32"))
     img_size = int(os.environ.get("BENCH_IMG", "224"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    quant = os.environ.get("BENCH_QUANT", "int8")   # int8 | int8_dw | none
+    # int8_full | int8 | int8_dw | none
+    quant = os.environ.get("BENCH_QUANT", "int8_full")
     variants = int(os.environ.get("BENCH_CACHE_VARIANTS", "1"))
     modes = os.environ.get("BENCH_MODES", "inline,pre").split(",")
 
@@ -157,7 +163,7 @@ def main():
     vae_cfg = vae_m.VAE_CONFIGS["flux-dev"]
     tower_cfg = clip_m.CLIP_VARIANTS["clip-vit-large-patch14"]
 
-    q8 = quant in ("int8", "int8_dw")
+    q8 = quant in ("int8", "int8_dw", "int8_full")
 
     def make_spec(**kw):
         base = dict(

@@ -131,13 +131,17 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
         sb_min = getattr(_INT8_TRAIN_CTX, "min_dim", None)
         if sb_min is not None and min(w.shape) >= sb_min:
             dw8 = getattr(_INT8_TRAIN_CTX, "dw_int8", False)
-            if "weight_sb_q" in p and not getattr(_INT8_TRAIN_CTX, "full", False):
+            if "weight_sb_q" in p:
                 # optimizer-fused quant cache (core.quant): the int8 copy was
                 # emitted by the previous optimizer step — skip the per-step
                 # re-quantization HBM pass over W
                 from .quant import (switchback_linear_cached,
-                                    switchback_linear_cached_dw)
-                sb = switchback_linear_cached_dw if dw8 else switchback_linear_cached
+                                    switchback_linear_cached_dw,
+                                    switchback_linear_full_cached)
+                sb = (switchback_linear_full_cached
+                      if getattr(_INT8_TRAIN_CTX, "full", False)
+                      else (switchback_linear_cached_dw if dw8
+                            else switchback_linear_cached))
                 y = sb(x, w, p["weight_sb_q"], p["weight_sb_scale"])
             else:
                 from .quant import (switchback_linear, switchback_linear_dw,

@@ -319,6 +319,41 @@ switchback_linear_cached_dw.defvjp(_switchback_cached_fwd,
                                    _switchback_cached_dw_bwd)
 
 
+@jax.custom_vjp
+def switchback_linear_full_cached(x, w, wq, ws):
+    """Full-int8 SwitchBack on the optimizer-maintained cache: int8 fwd + dx
+    from (wq, ws), dW on the int8 MXU with per-channel (column) scales — the
+    in-forward W re-quantization pass AND the bf16 dW are both gone.  On the
+    precomputed stage-1 step this combination measured fastest (STATUS.md r3:
+    uncached int8_full already beat cached bf16-dW int8)."""
+    return switchback_linear_cached(x, w, wq, ws)
+
+
+def _switchback_full_cached_bwd(res, g):
+    import numpy as np
+    x, wq, ws, w_proto = res
+    gq, sg = quantize_activation_rows(g, col_scale=ws)
+    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
+    # int8 dW with exact per-output x per-input scale factoring (see
+    # _switchback_full_bwd)
+    g2 = g.reshape(-1, g.shape[-1])
+    x2 = x.reshape(-1, x.shape[-1])
+    gq2, sgc = _quantize_cols(g2)
+    xq2, sxc = _quantize_cols(x2)
+    acc_w = jax.lax.dot_general(gq2, xq2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    dw = (acc_w.astype(jnp.float32) * sgc.T * sxc).astype(w_proto.dtype)
+    return (dx, dw,
+            np.zeros(wq.shape, jax.dtypes.float0),
+            jnp.zeros_like(ws))
+
+
+switchback_linear_full_cached.defvjp(_switchback_cached_fwd,
+                                     _switchback_full_cached_bwd)
+
+
 # Which flat param paths participate in the optimizer-fused quant cache.
 # MUST mirror core.nn.linear's switchback dispatch (int8_training_ctx
 # min_dim) or the cache would silently cover a different layer set.

@@ -237,7 +237,7 @@ def create_task_state(key: jax.Array, spec: TaskSpec, optimizer,
     modules = init_modules(key, spec, tower_params, vae_params)
     pred = trainable_predicate(spec, modules)
     state = create_state(modules, pred, optimizer)
-    if spec.dit_quant_cache and spec.dit_quant in ("int8", "int8_dw"):
+    if spec.dit_quant_cache and spec.dit_quant in ("int8", "int8_dw", "int8_full"):
         # optimizer-maintained int8 weight cache: the forward loads the
         # quantized copy instead of re-quantizing W every step
         from ..train.state import with_quant_cache

@@ -254,7 +254,7 @@ def create_task_state(key: jax.Array, spec: VideoTaskSpec, optimizer,
     modules = init_modules(key, spec, tower_params, vae_params)
     pred = trainable_predicate(spec, modules)
     state = create_state(modules, pred, optimizer)
-    if spec.dit_quant_cache and spec.dit_quant in ("int8", "int8_dw"):
+    if spec.dit_quant_cache and spec.dit_quant in ("int8", "int8_dw", "int8_full"):
         from ..train.state import with_quant_cache
         state = with_quant_cache(state)
     return state

@@ -135,7 +135,7 @@ class Trainer:
         self.max_steps = int(max_steps)
         # pallas fused optimizer can emit the int8 SwitchBack weight cache
         # from inside the update kernel (core/pallas/adamw.py)
-        emit_quant = (cfg.get("dit_quant", "none") in ("int8", "int8_dw")
+        emit_quant = (cfg.get("dit_quant", "none") in ("int8", "int8_dw", "int8_full")
                       and cfg.get("fused_optimizer") == "pallas")
         self.optimizer = optim.make_optimizer(cfg, total_steps=self.max_steps,
                                               emit_quant=emit_quant)

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Loss-trajectory comparison at the BENCH model scale: dit_quant none vs
+int8 (SwitchBack, bf16 dW) vs int8_full (int8 per-channel dW) on the
+precomputed stage-1 step.
+
+Purpose: convergence evidence for shipping int8_full as the headline bench
+configuration (STATUS.md round 3).  The unit tests prove trajectory tracking
+on a 512-wide MLP/DiT (tests/test_int8_training.py); this runs the actual
+3072-hidden bench DiT for N steps on cycled synthetic batches and reports
+the loss curves + final-window means, so the quantized-dW claim is backed at
+the scale the bench measures.
+
+Run on the TPU (one job at a time):
+    python scripts/loss_track.py --steps 300 --modes none,int8,int8_full
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--pool", type=int, default=8,
+                    help="distinct synthetic batches cycled")
+    ap.add_argument("--modes", type=str, default="none,int8,int8_full")
+    args = ap.parse_args()
+
+    from genhancer_tpu.models import dit as dit_m, vae as vae_m
+    from genhancer_tpu.models.towers import clip as clip_m
+    from genhancer_tpu.tasks import image as image_task
+    from genhancer_tpu.train import optim
+    from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+
+    dit_cfg = dit_m.DIT_CONFIGS["flux-dev"]
+    vae_cfg = vae_m.VAE_CONFIGS["flux-dev"]
+    tower_cfg = clip_m.CLIP_VARIANTS["clip-vit-large-patch14"]
+
+    rng = np.random.default_rng(0)
+    f = 2 ** (len(vae_cfg.ch_mult) - 1)
+    h = w = args.img // f
+    zc = 2 * vae_cfg.z_channels
+    pool = [{
+        "moments": jnp.asarray(
+            rng.normal(size=(args.batch, h, w, zc)).astype(np.float32) * 0.3),
+        "cls": jnp.asarray(
+            rng.normal(size=(args.batch, 768)).astype(np.float32)),
+    } for _ in range(args.pool)]
+
+    out = {"steps": args.steps, "batch": args.batch, "curves": {}}
+    for mode in args.modes.split(","):
+        q8 = mode in ("int8", "int8_full", "int8_dw")
+        optimizer = optim.make_optimizer(
+            Config(dict(TRAIN_DEFAULTS)),
+            fused="pallas" if q8 else False, emit_quant=q8)
+        spec = image_task.TaskSpec(
+            stage="stage1", tower_kind="clip", img_size=args.img,
+            clip_image_size=224, dit_cfg=dit_cfg, vae_cfg=vae_cfg,
+            tower_cfg=tower_cfg, clip_dim=768, t5_dim=4096,
+            compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16,
+            vae_dtype=jnp.bfloat16, dit_quant=mode if q8 else "none",
+            dit_quant_cache=q8)
+        state = image_task.create_task_state(jax.random.key(0), spec, optimizer)
+        step = image_task.make_train_step(spec, optimizer)
+        losses = []
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, m = step(state, pool[i % args.pool], jax.random.key(1000 + i))
+            if i % 10 == 0 or i == args.steps - 1:
+                losses.append((i, float(m["loss"])))
+        dt = time.perf_counter() - t0
+        tail = [l for _, l in losses if _ >= args.steps * 2 // 3]
+        out["curves"][mode] = {
+            "first": losses[0][1], "last": losses[-1][1],
+            "tail_mean": float(np.mean(tail)),
+            "samples": losses, "wall_s": round(dt, 1),
+        }
+        del state, step
+        print(mode, "first", losses[0][1], "last", losses[-1][1],
+              "tail_mean", float(np.mean(tail)), flush=True)
+
+    if "none" in out["curves"]:
+        ref = out["curves"]["none"]["tail_mean"]
+        for m, c in out["curves"].items():
+            c["tail_vs_none"] = round(c["tail_mean"] / ref, 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,7 @@ def main():
     cfg = Config(dict(TRAIN_DEFAULTS))
     optimizer = optim.make_optimizer(
         cfg, fused={"fused": True, "chained": False, "pallas": "pallas"}[args.optimizer],
-        emit_quant=(args.dit_quant in ("int8", "int8_dw")
+        emit_quant=(args.dit_quant in ("int8", "int8_dw", "int8_full")
                     and args.optimizer == "pallas"
                     and args.quant_cache != "off"))
 

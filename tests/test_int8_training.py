@@ -299,6 +299,32 @@ class TestCachedSwitchback:
         np.testing.assert_array_equal(np.asarray(gx1), np.asarray(gx2))
         np.testing.assert_array_equal(np.asarray(gw1), np.asarray(gw2))
 
+    def test_full_cached_matches_fresh_fwd_and_grads(self):
+        """switchback_linear_full_cached == switchback_linear_full when the
+        cache holds quantize_weight(w) — bit-exact fwd, dx and int8 dW."""
+        from genhancer_tpu.core import quant
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(4, 96, 512)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(640, 512)) * 0.05, jnp.float32)
+        wq, ws = quant.quantize_weight(w, axis=0)
+        ws1 = ws[:, 0]
+
+        y_fresh = quant.switchback_linear_full(x, w)
+        y_cached = quant.switchback_linear_full_cached(x, w, wq, ws1)
+        np.testing.assert_array_equal(np.asarray(y_fresh), np.asarray(y_cached))
+
+        def loss_fresh(x, w):
+            return jnp.sum(quant.switchback_linear_full(x, w) ** 2)
+
+        def loss_cached(x, w):
+            return jnp.sum(
+                quant.switchback_linear_full_cached(x, w, wq, ws1) ** 2)
+
+        gx1, gw1 = jax.grad(loss_fresh, argnums=(0, 1))(x, w)
+        gx2, gw2 = jax.grad(loss_cached, argnums=(0, 1))(x, w)
+        np.testing.assert_array_equal(np.asarray(gx1), np.asarray(gx2))
+        np.testing.assert_array_equal(np.asarray(gw1), np.asarray(gw2))
+
     def test_pallas_emitted_cache_matches_quantize_weight(self):
         from genhancer_tpu.core.pallas.adamw import fused_adamw_apply
         from genhancer_tpu.core import quant
@@ -323,7 +349,8 @@ class TestCachedSwitchback:
             np.testing.assert_allclose(np.asarray(qcache[k][1]),
                                        np.asarray(ws_ref[:, 0]), rtol=1e-7)
 
-    def test_step_with_cache_matches_fresh_quant_step(self):
+    @pytest.mark.parametrize("dit_quant", ["int8", "int8_full"])
+    def test_step_with_cache_matches_fresh_quant_step(self, dit_quant):
         """End-to-end: N steps with the state-threaded cache == N steps with
         in-forward quantization (the pre-cache implementation)."""
         from genhancer_tpu.models import dit as dit_m, vae as vae_m
@@ -353,7 +380,7 @@ class TestCachedSwitchback:
             stage="stage1", tower_kind="clip", img_size=32, clip_image_size=28,
             dit_cfg=dit_cfg, vae_cfg=vae_cfg, tower_cfg=tower_cfg,
             clip_dim=24, t5_dim=32, compute_dtype=jnp.float32,
-            dit_param_dtype=jnp.float32, dit_quant="int8",
+            dit_param_dtype=jnp.float32, dit_quant=dit_quant,
             dit_quant_cache=True)
         opt = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
         rng = np.random.default_rng(3)
@@ -362,7 +389,7 @@ class TestCachedSwitchback:
 
         # cached: create_task_state fills the cache (dit_quant == int8)
         st_c = image_task.create_task_state(jax.random.key(0), spec, opt)
-        assert st_c.quant, "cache expected for dit_quant=int8"
+        assert st_c.quant, f"cache expected for dit_quant={dit_quant}"
         # fresh: same modules, no cache -> in-forward quantization
         modules = init_modules(jax.random.key(0), spec)
         st_f = create_state(modules, trainable_predicate(spec, modules), opt)
