@@ -23,9 +23,15 @@ def main():
     ap.add_argument("--mode", type=str, default="middle")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--quant", type=str, default="none",
-                    choices=["none", "int8"])
+                    choices=["none", "int8", "int8_full"])
     ap.add_argument("--remat-policy", type=str, default="full",
-                    choices=["full", "save_attn", "dots"])
+                    choices=["full", "save_attn", "dots", "none"],
+                    help="'none' disables per-block remat entirely (flash "
+                         "attention keeps activations O(L); fits at small B)")
+    ap.add_argument("--precomputed", action="store_true",
+                    help="feed cached conditioning (data.precompute batch "
+                         "layout: moments + cond_patches/cond_vecs) — the "
+                         "frozen VAE/tower are skipped in the step")
     args = ap.parse_args()
 
     from genhancer_tpu.models import dit as dit_m, vae as vae_m
@@ -42,22 +48,45 @@ def main():
         vae_cfg=vae_m.VAE_CONFIGS["flux-dev"],
         tower_cfg=clip_m.CLIP_VARIANTS["clip-vit-large-patch14-336"],
         compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16,
-        vae_dtype=jnp.bfloat16, remat=True,   # trainer auto-remat for long L
-        remat_policy=args.remat_policy,
-        tower_quant=q, vae_quant=q, dit_quant=q)
+        vae_dtype=jnp.bfloat16,
+        remat=args.remat_policy != "none",   # trainer auto-remat for long L
+        remat_policy=(args.remat_policy if args.remat_policy != "none"
+                      else "full"),
+        tower_quant=("int8" if q != "none" else "none"),
+        vae_quant=("int8" if q != "none" else "none"), dit_quant=q,
+        dit_quant_cache=q in ("int8", "int8_full", "int8_dw"))
 
-    optimizer = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+    q8 = q in ("int8", "int8_full", "int8_dw")
+    optimizer = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)),
+                                     fused="pallas" if q8 else None,
+                                     emit_quant=q8)
     state = video_task.create_task_state(jax.random.key(0), spec, optimizer)
     step = video_task.make_train_step(spec, optimizer)
 
     n_cond = spec.n_cond
     rng = np.random.default_rng(0)
-    batch = {
-        "cond": jnp.asarray(rng.random(
-            (args.batch, n_cond, args.img, args.img, 3), dtype=np.float32)),
-        "target": jnp.asarray(rng.random(
-            (args.batch, args.img, args.img, 3), dtype=np.float32)),
-    }
+    if args.precomputed:
+        h, w = spec.latent_hw
+        zc = 2 * spec.vae_cfg.z_channels
+        vcfg = spec.tower_cfg.vision
+        lp = (vcfg.image_size // vcfg.patch_size) ** 2
+        batch = {
+            "moments": jnp.asarray(
+                rng.normal(size=(args.batch, h, w, zc)).astype(np.float32) * 0.3),
+            "cond_patches": jnp.asarray(rng.normal(
+                size=(args.batch, n_cond, lp, vcfg.hidden_size))
+                .astype(np.float32)),
+            "cond_vecs": jnp.asarray(rng.normal(
+                size=(args.batch, n_cond, spec.tower_cfg.projection_dim))
+                .astype(np.float32)),
+        }
+    else:
+        batch = {
+            "cond": jnp.asarray(rng.random(
+                (args.batch, n_cond, args.img, args.img, 3), dtype=np.float32)),
+            "target": jnp.asarray(rng.random(
+                (args.batch, args.img, args.img, 3), dtype=np.float32)),
+        }
 
     for i in range(2):
         state, m = step(state, batch, jax.random.key(i))
@@ -70,6 +99,7 @@ def main():
     print(json.dumps({
         "mode": args.mode, "batch": args.batch, "img": args.img,
         "quant": q, "remat_policy": args.remat_policy,
+        "precomputed": bool(args.precomputed),
         "step_ms": round(ms, 2),
         "samples_per_sec": round(args.batch / ms * 1000.0, 2),
     }), flush=True)
