@@ -115,7 +115,8 @@ def fused_adamw_clip(schedule, b1: float = 0.9, b2: float = 0.999,
 def pallas_adamw_clip(schedule, b1: float = 0.9, b2: float = 0.999,
                       eps: float = 1e-8, weight_decay: float = 0.01,
                       max_grad_norm: float = 1.0,
-                      emit_quant: bool = False) -> optax.GradientTransformation:
+                      emit_quant: bool = False,
+                      moment_bits: int = 16) -> optax.GradientTransformation:
     """clip-by-global-norm + AdamW as one in-place Pallas pass per leaf
     (core.pallas.adamw): ~14 bytes/param of HBM traffic vs the optax chain's
     staged temporaries.
@@ -129,9 +130,30 @@ def pallas_adamw_clip(schedule, b1: float = 0.9, b2: float = 0.999,
     ``emit_quant``: also emit the int8-quantized copy + per-row scales of
     every SwitchBack-eligible DiT weight from inside the update kernel (the
     new W is already in registers — the next forward's re-quantization HBM
-    pass disappears; core.quant.switchback_linear_cached consumes them)."""
+    pass disappears; core.quant.switchback_linear_cached consumes them).
+
+    ``moment_bits=8``: store Adam moments as log-coded int8 with one f32
+    scale per parameter row (core.pallas.adamw.Moment8 — the TPU analog of
+    8-bit Adam, arXiv:2110.02861).  Moment memory halves vs the bf16 default
+    (~2.5 GB on flux-dev); the decode/update/encode runs inside the same
+    fused kernel pass.  On v5e this is a MEMORY knob, not a speed knob: the
+    code's exp2/log2 make the kernel VPU-bound and the full-state update
+    measures ~+15 ms/step vs dense bf16 moments (design notes + measured
+    alternatives in core/pallas/adamw.py).  Leaves too small or oddly-shaped
+    for the Pallas path keep dense moments (they are a rounding error of the
+    state).  Requires flat path-dict params (TrainState layout)."""
 
     def init(params):
+        if moment_bits == 8:
+            from ..core.pallas.adamw import (moment8_ok, moment8_zeros_m,
+                                             moment8_zeros_v)
+            if not isinstance(params, dict):
+                raise ValueError("moment_bits=8 requires flat path-dict params")
+            mu = {k: (moment8_zeros_m(p) if moment8_ok(p)
+                      else jnp.zeros_like(p)) for k, p in params.items()}
+            nu = {k: (moment8_zeros_v(p) if moment8_ok(p)
+                      else jnp.zeros_like(p)) for k, p in params.items()}
+            return FusedAdamWState(count=jnp.zeros((), jnp.int32), mu=mu, nu=nu)
         return FusedAdamWState(count=jnp.zeros((), jnp.int32),
                                mu=jax.tree_util.tree_map(jnp.zeros_like, params),
                                nu=jax.tree_util.tree_map(jnp.zeros_like, params))
@@ -168,7 +190,8 @@ class _NewParams:
 
 def make_optimizer(cfg, total_steps: Optional[int] = None,
                    fused: Optional[bool] = None,
-                   emit_quant: bool = False) -> optax.GradientTransformation:
+                   emit_quant: bool = False,
+                   moment_bits: Optional[int] = None) -> optax.GradientTransformation:
     """cfg: a train Config (train.config) with the reference optimizer knobs.
 
     ``fused`` (or config key ``fused_optimizer``) selects the implementation:
@@ -189,9 +212,18 @@ def make_optimizer(cfg, total_steps: Optional[int] = None,
     if fused is None:
         fused = cfg.get("fused_optimizer", False)
     max_gn = float(cfg.get("max_grad_norm", 1.0))
+    if moment_bits is None:
+        moment_bits = int(cfg.get("optimizer_moment_bits", 16))
+    if moment_bits not in (8, 16):
+        raise ValueError(f"optimizer_moment_bits must be 8 or 16, got {moment_bits}")
+    if moment_bits == 8 and fused not in ("pallas",):
+        raise ValueError("optimizer_moment_bits: 8 requires "
+                         "fused_optimizer: pallas (the 8-bit decode/encode "
+                         "lives in the fused Pallas kernel)")
     if fused in ("pallas",):
         return pallas_adamw_clip(schedule, max_grad_norm=max_gn,
-                                 emit_quant=emit_quant, **kw)
+                                 emit_quant=emit_quant,
+                                 moment_bits=moment_bits, **kw)
     if fused in (True, "xla"):
         return fused_adamw_clip(schedule, max_grad_norm=max_gn, **kw)
     return optax.chain(

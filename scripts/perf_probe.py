@@ -50,6 +50,9 @@ def main():
                     choices=[None, "full", "save_attn", "dots"],
                     help="enable per-block remat with this policy (default "
                          "off at image scale)")
+    ap.add_argument("--moment-bits", type=int, default=16, choices=[8, 16],
+                    help="8: log-coded int8 Adam moments in the Pallas "
+                         "optimizer (requires --optimizer pallas)")
     ap.add_argument("--quant-cache", type=str, default="auto",
                     choices=["auto", "off"],
                     help="off: in-forward W quantization (no optimizer-"
@@ -86,7 +89,8 @@ def main():
         cfg, fused={"fused": True, "chained": False, "pallas": "pallas"}[args.optimizer],
         emit_quant=(args.dit_quant in ("int8", "int8_dw", "int8_full")
                     and args.optimizer == "pallas"
-                    and args.quant_cache != "off"))
+                    and args.quant_cache != "off"),
+        moment_bits=args.moment_bits)
 
     rng = np.random.default_rng(0)
     batch = {"image": jnp.asarray(
