@@ -58,13 +58,14 @@ def enabled() -> bool:
 
 # argument/result kinds: which dims of the local array may stay sharded
 BHLD = "bhld"   # rank-4 [B, L, H, D] — B (dim 0) and H (dim 2) shardable
+LSE = "lse"     # rank-4 [B, H, L_pad, LANES] softmax stats — B (0) and H (1)
 BLD = "bld"     # rank-3 tables [B, L, D] — B only
 TC = "tc"       # rank-2 [T, C] row-major activations — T (dim 0) only
 T = "t"         # rank-1 [T] per-row values — T only
 C = "c"         # rank-1 [C] per-column values — fully replicated
 
 # kind -> (rank, batch_dim, head_dim)
-_KIND = {BHLD: (4, 0, 2), BLD: (3, 0, None), TC: (2, 0, None),
+_KIND = {BHLD: (4, 0, 2), LSE: (4, 0, 1), BLD: (3, 0, None), TC: (2, 0, None),
          T: (1, 0, None), C: (1, None, None)}
 
 
@@ -162,12 +163,18 @@ def wrap(fn, arg_kinds: Sequence[str], out_kinds, rule: str,
     return f
 
 
-# canonical rules (q-rows l, kv-rows s, head_dim d, table cols e)
+# canonical rules (q-rows l, kv-rows s, head_dim d, table cols e,
+# padded lse rows p, lse lanes z)
 FWD_RULE = "b l h d, b s h d, b s h d -> b l h d"
 FWD_REPL = ("l", "s", "d")
+FWD_LSE_RULE = "b l h d, b s h d, b s h d -> b l h d, b h p z"
+FWD_LSE_REPL = ("l", "s", "d", "p", "z")
 BWD_RULE = ("b l h d, b s h d, b s h d, b l h d, b l h d "
             "-> b l h d, b s h d, b s h d")
 BWD_REPL = ("l", "s", "d")
+BWD_LSE_RULE = ("b l h d, b s h d, b s h d, b l h d, b h p z, b l h d "
+                "-> b l h d, b s h d, b s h d")
+BWD_LSE_REPL = ("l", "s", "d", "p", "z")
 ROPE_FWD_RULE = "b l h d, b s h d, b s h d, b l e, b l e -> b l h d"
 ROPE_FWD_REPL = ("l", "s", "d", "e")
 ROPE_BWD_RULE = ("b l h d, b s h d, b s h d, b l h d, b l h d, b l e, b l e "
