@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def maybe_initialize_distributed() -> None:
@@ -60,12 +61,23 @@ def maybe_initialize_distributed() -> None:
 
 
 def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None,
+              sequence_parallel: int = 1) -> Mesh:
+    """(data, model) mesh; with ``sequence_parallel`` > 1 a third ``seq``
+    axis is added for ring-attention context parallelism (parallel/ring.py).
+    Two axes stay the default so existing 2-D sharding layouts (and their
+    saved-checkpoint specs) are unchanged unless SP is requested."""
     devices = list(devices if devices is not None else jax.devices())
     n = num_devices or len(devices)
     devices = devices[:n]
-    if n % model_parallel:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    if n % (model_parallel * sequence_parallel):
+        raise ValueError(f"{n} devices not divisible by model_parallel="
+                         f"{model_parallel} x sequence_parallel={sequence_parallel}")
+    if sequence_parallel > 1:
+        arr = mesh_utils.create_device_mesh(
+            (n // model_parallel // sequence_parallel, model_parallel,
+             sequence_parallel), devices=devices)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
     arr = mesh_utils.create_device_mesh((n // model_parallel, model_parallel),
                                         devices=devices)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
