@@ -154,7 +154,21 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """RoPE + SDPA + head merge — the reference `attention` (src/flux/math.py:6-12).
 
     q,k,v: [B, L, H, D]; cos/sin: [B, L, D/2].  Returns [B, L, H*D].
+
+    Under an open ``parallel.ring.ring_scope`` (sequence_parallel > 1) the
+    softmax runs as ring attention with L sharded over the mesh's seq axis;
+    RoPE stays outside the ring (it is per-token, GSPMD shards it), and the
+    shard_map boundary anchors the L-sharding that the surrounding per-token
+    ops (MLPs, norms, modulation) inherit via propagation.
     """
+    from ..parallel import ring as ring_m
+    scope = ring_m.active_scope()
+    if scope is not None:
+        mesh, axis_name = scope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        return _merge_heads(ring_m.ring_attention(q, k, v, mesh,
+                                                  axis_name=axis_name))
     if _fused_short_ok(q):
         return _merge_heads(_fused_short_fn()(q, k, v, cos, sin))
     q = apply_rope(q, cos, sin)

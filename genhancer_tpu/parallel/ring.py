@@ -45,6 +45,8 @@ tested on the virtual CPU mesh (tests/test_ring.py).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
@@ -54,6 +56,31 @@ from jax.sharding import Mesh, PartitionSpec as P
 from . import mesh as mesh_m
 
 SEQ_AXIS = "seq"
+
+# Trace-time scope consulted by core.attention.attention() — entered inside
+# the task loss_fn around the DiT forward (the int8_training_ctx pattern,
+# tasks/video.py), so it is active on every trace/retrace and the jitted
+# executable bakes the ring dispatch in.
+_SCOPE: contextvars.ContextVar = contextvars.ContextVar("ring_scope",
+                                                        default=None)
+
+
+@contextlib.contextmanager
+def ring_scope(mesh: Mesh, axis_name: str = SEQ_AXIS):
+    """Route DiT attention through ring_attention for the enclosed trace."""
+    tok = _SCOPE.set((mesh, axis_name))
+    try:
+        yield
+    finally:
+        _SCOPE.reset(tok)
+
+
+def active_scope():
+    """(mesh, axis_name) when a ring_scope is open and its seq axis is >1."""
+    s = _SCOPE.get()
+    if s is not None and s[0].shape.get(s[1], 1) > 1:
+        return s
+    return None
 
 
 def _rotate(x, axis_name, n):

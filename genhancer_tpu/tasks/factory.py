@@ -127,7 +127,10 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   dit_quant=cfg.get("dit_quant", "none"),
                   # int8 weight cache pays only when the pallas optimizer
                   # emits it fused (see TaskSpec.dit_quant_cache)
-                  dit_quant_cache=cfg.get("fused_optimizer") == "pallas")
+                  dit_quant_cache=cfg.get("fused_optimizer") == "pallas",
+                  # ring-attention sequence parallelism (parallel/ring.py):
+                  # the trainer builds the matching seq mesh axis
+                  sequence_parallel=int(cfg.get("sequence_parallel", 1) or 1))
 
     data_kwargs = dict(dc)
     data_kwargs.pop("img_size", None)

@@ -78,6 +78,12 @@ class TaskSpec:
     # separate full passes over W (measured +33 ms at ~1B params), so the
     # factory enables this only alongside the pallas optimizer.
     dit_quant_cache: bool = False
+    # Ring-attention sequence parallelism (parallel/ring.py): >1 shards the
+    # DiT's token axis over a ``seq`` mesh axis — attention runs as a
+    # ppermute ring, per-token ops shard via GSPMD propagation.  Requires a
+    # mesh built with make_mesh(sequence_parallel=N); the joint token count
+    # (txt + img) must divide N.
+    sequence_parallel: int = 1
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -154,7 +160,9 @@ def trainable_predicate(spec: TaskSpec, modules) -> Callable[[str], bool]:
     return pred
 
 
-def make_loss_fn(spec: TaskSpec):
+def make_loss_fn(spec: TaskSpec, mesh=None):
+    ring_ctx = _ring_ctx_factory(spec, mesh)
+
     def loss_fn(trainable, frozen, batch, key, quant=None):
         from ..train.state import merged_quant_flat
         params = unflatten_params({**frozen, **trainable,
@@ -198,7 +206,7 @@ def make_loss_fn(spec: TaskSpec):
         with (int8_training_ctx(full=spec.dit_quant == "int8_full",
                                 dw_int8=spec.dit_quant == "int8_dw")
               if spec.dit_quant in ("int8", "int8_full", "int8_dw")
-              else contextlib.nullcontext()):
+              else contextlib.nullcontext()), ring_ctx():
             pred = dit_m.dit_forward(
                 params["dit"], spec.dit_cfg,
                 img=xt.astype(spec.compute_dtype), img_ids=cond["img_ids"],
@@ -216,9 +224,28 @@ def make_loss_fn(spec: TaskSpec):
     return loss_fn
 
 
-def make_train_step(spec: TaskSpec, optimizer):
+def _ring_ctx_factory(spec, mesh):
+    """Shared by image/video tasks: a () -> contextmanager opening the
+    ring-attention scope when the spec asks for sequence parallelism."""
+    if getattr(spec, "sequence_parallel", 1) <= 1:
+        return contextlib.nullcontext
+    if mesh is None:
+        raise ValueError(
+            f"sequence_parallel={spec.sequence_parallel} needs the mesh: "
+            "pass mesh= to make_loss_fn/make_train_step (the trainer builds "
+            "it with make_mesh(sequence_parallel=N))")
+    from ..parallel import ring as ring_m
+    from ..parallel.mesh import SEQ_AXIS
+    if mesh.shape.get(SEQ_AXIS, 1) != spec.sequence_parallel:
+        raise ValueError(
+            f"mesh seq axis {mesh.shape.get(SEQ_AXIS, 1)} != "
+            f"spec.sequence_parallel={spec.sequence_parallel}")
+    return functools.partial(ring_m.ring_scope, mesh)
+
+
+def make_train_step(spec: TaskSpec, optimizer, mesh=None):
     """jit-able (state, batch, key) -> (state, metrics)."""
-    loss_fn = make_loss_fn(spec)
+    loss_fn = make_loss_fn(spec, mesh)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key):

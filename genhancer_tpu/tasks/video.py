@@ -79,6 +79,7 @@ class VideoTaskSpec:
     vae_quant: str = "none"                  # int8 encoder convs
     dit_quant: str = "none"                  # switchback int8 DiT training
     dit_quant_cache: bool = False            # optimizer-fused W quant cache
+    sequence_parallel: int = 1               # ring attention (image.TaskSpec)
 
     @property
     def n_cond(self) -> int:
@@ -158,7 +159,10 @@ def trainable_predicate(spec: VideoTaskSpec, modules) -> Callable[[str], bool]:
     return pred
 
 
-def make_loss_fn(spec: VideoTaskSpec):
+def make_loss_fn(spec: VideoTaskSpec, mesh=None):
+    from .image import _ring_ctx_factory
+    ring_ctx = _ring_ctx_factory(spec, mesh)
+
     def loss_fn(trainable, frozen, batch, key, quant=None):
         from ..train.state import merged_quant_flat
         params = unflatten_params({**frozen, **trainable,
@@ -220,7 +224,7 @@ def make_loss_fn(spec: VideoTaskSpec):
         with (int8_training_ctx(full=spec.dit_quant == "int8_full",
                                 dw_int8=spec.dit_quant == "int8_dw")
               if spec.dit_quant in ("int8", "int8_full", "int8_dw")
-              else contextlib.nullcontext()):
+              else contextlib.nullcontext()), ring_ctx():
             pred = dit_m.dit_forward(
                 params["dit"], spec.dit_cfg,
                 img=xt.astype(spec.compute_dtype), img_ids=dit_in["img_ids"],
@@ -234,8 +238,8 @@ def make_loss_fn(spec: VideoTaskSpec):
     return loss_fn
 
 
-def make_train_step(spec: VideoTaskSpec, optimizer):
-    loss_fn = make_loss_fn(spec)
+def make_train_step(spec: VideoTaskSpec, optimizer, mesh=None):
+    loss_fn = make_loss_fn(spec, mesh)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key):

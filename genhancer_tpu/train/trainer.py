@@ -110,7 +110,9 @@ class Trainer:
         mesh_m.maybe_initialize_distributed()
         n = int(cfg.get("num_devices") or len(jax.devices()))
         self.tp = int(cfg.get("model_parallel", 1) or 1)
-        self.mesh = mesh_m.make_mesh(n, model_parallel=self.tp)
+        self.sp = int(cfg.get("sequence_parallel", 1) or 1)
+        self.mesh = mesh_m.make_mesh(n, model_parallel=self.tp,
+                                     sequence_parallel=self.sp)
         bs = int(cfg.get_path("data_config.train_batch_size", 1))
         n_data = mesh_m.data_axis_size(self.mesh)
         if bs % n_data:
@@ -197,12 +199,12 @@ class Trainer:
 
         from ..tasks.image import make_loss_fn as image_loss
         from ..tasks.video import make_loss_fn as video_loss
-        loss_fn = (image_loss(self.spec) if self.ckpt_kind == "image"
-                   else video_loss(self.spec))
+        loss_fn = (image_loss(self.spec, self.mesh) if self.ckpt_kind == "image"
+                   else video_loss(self.spec, self.mesh))
         if self.accum > 1:
             self.step_fn = make_accum_train_step(loss_fn, self.optimizer, self.accum)
         else:
-            self.step_fn = make_step(self.spec, self.optimizer)
+            self.step_fn = make_step(self.spec, self.optimizer, mesh=self.mesh)
 
         self.log_interval = max(1, int(cfg.get("log_interval", 10)))
         report_to = cfg.get("report_to")

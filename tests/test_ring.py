@@ -50,6 +50,73 @@ class TestRingForward:
             ring.ring_attention(q, k, v, mesh, batch_axis=None)
 
 
+class TestTaskSequenceParallel:
+    """sequence_parallel on the video sliding task: full train-step loss
+    parity vs the unsharded step (same init/batch/key)."""
+
+    def _spec(self, sp):
+        from genhancer_tpu.models import dit as dit_m, vae as vae_m
+        from genhancer_tpu.models.towers import clip as clip_m
+        from genhancer_tpu.tasks import video as video_task
+        tiny_dit = dit_m.DiTConfig(in_channels=16, vec_in_dim=24,
+                                   context_in_dim=32, hidden_size=64,
+                                   num_heads=4, depth=2, depth_single_blocks=2,
+                                   axes_dim=(4, 6, 6))
+        tiny_vae = vae_m.VAEConfig(resolution=32, ch=8, ch_mult=(1, 2),
+                                   num_res_blocks=1, z_channels=4)
+        tiny_tower = clip_m.CLIPConfig(
+            vision=clip_m.CLIPVisionConfig(hidden_size=16, intermediate_size=32,
+                                           num_layers=1, num_heads=2,
+                                           image_size=32, patch_size=16),
+            text=clip_m.CLIPTextConfig(hidden_size=16, intermediate_size=32,
+                                       num_layers=1, num_heads=2, vocab_size=50,
+                                       max_position_embeddings=8),
+            projection_dim=24)
+        return video_task.VideoTaskSpec(
+            mode="sliding", stage="stage1", tower_kind="clip", img_size=32,
+            clip_image_size=32, dit_cfg=tiny_dit, vae_cfg=tiny_vae,
+            tower_cfg=tiny_tower, clip_dim=24, t5_dim=32, adapter_in_dim=16,
+            compute_dtype=jnp.float32, dit_param_dtype=jnp.float32,
+            sequence_parallel=sp)
+
+    @pytest.mark.slow  # compiles the tiny sliding train step twice (~6 min)
+    def test_sp_step_matches_unsharded(self, rng):
+        from genhancer_tpu.tasks import video as video_task
+        from genhancer_tpu.train import optim
+        from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+
+        optimizer = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        batch = {
+            "cond": jnp.asarray(rng.random((2, 3, 32, 32, 3)), jnp.float32),
+            "target": jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32),
+            "valid": jnp.array([True, True]),
+        }
+        key = jax.random.key(3)
+
+        spec0 = self._spec(1)
+        st0 = video_task.create_task_state(jax.random.key(0), spec0, optimizer)
+        _, m0 = video_task.make_train_step(spec0, optimizer)(st0, batch, key)
+
+        spec2 = self._spec(2)
+        mesh = mesh_m.make_mesh(4, sequence_parallel=2)
+        st2 = video_task.create_task_state(jax.random.key(0), spec2, optimizer)
+        _, m2 = video_task.make_train_step(spec2, optimizer, mesh=mesh)(
+            st2, batch, key)
+
+        np.testing.assert_allclose(float(m2["loss"]), float(m0["loss"]),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(float(m2["grad_norm"]),
+                                   float(m0["grad_norm"]), rtol=2e-4)
+
+    def test_sp_without_mesh_fails_loudly(self):
+        from genhancer_tpu.tasks import video as video_task
+        from genhancer_tpu.train import optim
+        from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+        optimizer = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        with pytest.raises(ValueError, match="needs the mesh"):
+            video_task.make_train_step(self._spec(2), optimizer)
+
+
 class TestRingGrads:
     def test_grads_match_sdpa(self, rng):
         mesh = mesh_m.make_mesh(8, sequence_parallel=4)
