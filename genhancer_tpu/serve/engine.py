@@ -1,0 +1,186 @@
+"""TPU inference engine: compiled reconstruction + embedding over buckets.
+
+Design (TPU-first):
+  * Every serving path is ONE jit region — the full ``num_steps`` Euler
+    denoise loop, VAE decode and [0,1] clamp compile into a single XLA
+    program per batch bucket (no per-step Python dispatch at serve time).
+  * Batch shapes are bucketed: jit is compiled once per bucket at startup
+    (``warmup``) and requests are padded up to the smallest bucket, so the
+    serve path never hits an online compile (first-compile on this stack is
+    20-120 s — unacceptable inside a request).
+  * ``num_steps`` is a static property of the server (it is the length of
+    the unrolled sampler loop); changing it means a different program.
+
+The parity surface mirrors ``eval/reconstruct.py`` (the working replacement
+for the reference's bitrotted ``reconstruction/reconstruct_stage1.py``) and
+``tasks/conditioning.tower_features`` (CLIP_bank.py forward semantics).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import dit as dit_m
+from ..models import vae as vae_m
+from ..tasks.conditioning import image_conditioning, normalize, tower_stats, tower_features
+from ..train import flow
+
+logger = logging.getLogger(__name__)
+
+
+def _pad_to(arr: np.ndarray, b: int) -> np.ndarray:
+    """Pad the batch dim to ``b`` by repeating the last row (keeps shapes
+    static; padded outputs are sliced off)."""
+    n = arr.shape[0]
+    if n == b:
+        return arr
+    pad = np.repeat(arr[-1:], b - n, axis=0)
+    return np.concatenate([arr, pad], axis=0)
+
+
+class InferenceEngine:
+    """Holds device-resident params and compiled per-bucket programs.
+
+    ``params``: the ``{dit, vae, clip{model, project_clip, project_t5}}``
+    tree a stage-1 ``TrainState.params()`` yields.  Thread-safe: JAX
+    dispatch is locked per call so concurrent batchers serialize cleanly
+    on the single device queue.
+    """
+
+    def __init__(self, spec, params, *, num_steps: int = 20,
+                 guidance: float = 4.0, shift_schedule: bool = True,
+                 buckets: Sequence[int] = (1, 4, 8)):
+        self.spec = spec
+        self.num_steps = int(num_steps)
+        self.guidance = float(guidance)
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if not self.buckets:
+            raise ValueError("at least one batch bucket required")
+        self.max_batch = self.buckets[-1]
+        self._params = jax.device_put(params)
+        self._lock = threading.Lock()
+        self._key_counter = 0
+
+        lat_h, lat_w = spec.latent_hw
+        seq_len = (lat_h // 2) * (lat_w // 2)
+        timesteps = flow.get_schedule(self.num_steps, seq_len,
+                                      shift=shift_schedule)
+
+        def recon(params, image01, key):
+            cond = image_conditioning(spec.tower_kind, params["clip"], image01,
+                                      spec.tower_cfg, spec.latent_hw,
+                                      compute_dtype=spec.compute_dtype)
+            b = image01.shape[0]
+            noise = jax.random.normal(
+                key, (b, lat_h, lat_w, spec.vae_cfg.z_channels), jnp.float32)
+            img = dit_m.pack_latent(noise).astype(spec.compute_dtype)
+
+            def model_fn(x, t_vec, g_vec):
+                return dit_m.dit_forward(
+                    params["dit"], spec.dit_cfg, img=x,
+                    img_ids=cond["img_ids"], txt=cond["txt"].astype(x.dtype),
+                    txt_ids=cond["txt_ids"], timesteps=t_vec,
+                    y=cond["vec"].astype(x.dtype), guidance=g_vec)
+
+            tokens = flow.denoise_euler(model_fn, img, timesteps,
+                                        self.guidance)
+            lat = dit_m.unpack_latent(tokens.astype(jnp.float32), lat_h, lat_w)
+            out = vae_m.vae_decode(params["vae"], spec.vae_cfg, lat)
+            return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+
+        def embed(params, image01):
+            mean, std = tower_stats(spec.tower_kind)
+            px = normalize(image01, mean, std).astype(spec.compute_dtype)
+            cls_tok, _ = tower_features(spec.tower_kind, params["clip"], px,
+                                        spec.tower_cfg)
+            return cls_tok.astype(jnp.float32)
+
+        self._recon = jax.jit(recon)
+        self._embed = jax.jit(embed)
+
+    # ------------------------------------------------------------------ api
+
+    def bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"batch {n} exceeds max bucket {self.max_batch}")
+
+    def _next_key(self) -> jax.Array:
+        self._key_counter += 1
+        return jax.random.key(self._key_counter)
+
+    def reconstruct(self, images01: np.ndarray,
+                    seed: Optional[int] = None) -> np.ndarray:
+        """images01: [n, H, W, 3] float32 in [0,1], n <= max bucket.
+        Returns reconstructed [n, H, W, 3] in [0,1]."""
+        n = images01.shape[0]
+        b = self.bucket_for(n)
+        batch = jnp.asarray(_pad_to(np.asarray(images01, np.float32), b))
+        with self._lock:
+            key = (jax.random.key(seed) if seed is not None
+                   else self._next_key())
+            out = self._recon(self._params, batch, key)
+            out = np.asarray(out)
+        return out[:n]
+
+    def embed(self, images01: np.ndarray) -> np.ndarray:
+        """images01: [n, H, W, 3] in [0,1] -> [n, D] tower class tokens
+        (visual_projection@pooler for CLIP, MAP-pooled for SigLIP — the
+        representation MMVP evaluates)."""
+        n = images01.shape[0]
+        b = self.bucket_for(n)
+        batch = jnp.asarray(_pad_to(np.asarray(images01, np.float32), b))
+        with self._lock:
+            out = np.asarray(self._embed(self._params, batch))
+        return out[:n]
+
+    def warmup(self, endpoints: Sequence[str] = ("reconstruct", "embed")):
+        """Compile every (endpoint, bucket) program before serving."""
+        s = self.spec.img_size
+        for b in self.buckets:
+            dummy = np.zeros((b, s, s, 3), np.float32)
+            if "reconstruct" in endpoints:
+                logger.info("warmup reconstruct bucket=%d", b)
+                self.reconstruct(dummy, seed=0)
+            if "embed" in endpoints:
+                logger.info("warmup embed bucket=%d", b)
+                self.embed(dummy)
+
+    # ------------------------------------------------------------- loading
+
+    @classmethod
+    def from_config(cls, cfg, *, load_dir: Optional[str] = None,
+                    load_step: Optional[int] = None, **kw) -> "InferenceEngine":
+        """Build from a stage-1 training config (dict or path).  With
+        ``load_dir``/``load_step`` the stage-1 component .bins are loaded
+        (checkpoint-dit-N.bin etc.); otherwise params stay at init (tower/VAE
+        still take pretrained weights when the config points at them)."""
+        from ..tasks import factory
+        from ..tasks.image import init_modules, trainable_predicate
+        from ..train import optim
+        from ..train.checkpoint import load_stage1_components
+        from ..train.config import Config, TRAIN_DEFAULTS, load_config
+        from ..train.state import create_state
+
+        if isinstance(cfg, str):
+            cfg = load_config(cfg)
+        cfg.setdefault("task", "image_stage1")
+        spec, (tower_params, vae_params), *_ = factory.build_task(cfg)
+        modules = init_modules(jax.random.key(int(cfg.get("seed", 0))), spec,
+                               tower_params, vae_params)
+        optimizer = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        state = create_state(modules, trainable_predicate(spec, modules),
+                             optimizer)
+        if load_dir is not None:
+            if load_step is None:
+                raise ValueError("load_step required with load_dir")
+            state = load_stage1_components(state, load_dir, int(load_step),
+                                           kind="image")
+        return cls(spec, state.params(), **kw)
