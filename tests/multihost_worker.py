@@ -117,17 +117,23 @@ def main():
     other = other.replace(
         opt_state=mesh_m.shard_over_data(other.opt_state, mesh))
     restored = orbax_ckpt.restore_sharded(other, outdir, 99)
+    from jax.experimental import multihost_utils as mh
+
+    def fetch(x):
+        # live ZeRO-1 state: GSPMD propagates the data-sharded moment layout
+        # into the updated params, so trainable leaves may be data-sharded
+        # after step 1 — a direct device_get spans non-addressable devices
+        # under >1 process; gather collectively instead
+        return np.asarray(mh.process_allgather(x, tiled=True)).astype(np.float32)
+
     for k in state.trainable:
-        a = np.asarray(jax.device_get(restored.trainable[k])).astype(np.float32)
-        b = np.asarray(jax.device_get(state.trainable[k])).astype(np.float32)
+        a = fetch(restored.trainable[k])
+        b = fetch(state.trainable[k])
         assert np.array_equal(a, b), f"orbax trainable mismatch at {k}"
     for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
                     jax.tree_util.tree_leaves(state.opt_state)):
         assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
-        from jax.experimental import multihost_utils as mh
-        ga = np.asarray(mh.process_allgather(a, tiled=True)).astype(np.float32)
-        gb = np.asarray(mh.process_allgather(b, tiled=True)).astype(np.float32)
-        assert np.array_equal(ga, gb), "orbax opt_state mismatch"
+        assert np.array_equal(fetch(a), fetch(b)), "orbax opt_state mismatch"
 
     with open(os.path.join(outdir, f"result.{nprocs}proc.{proc_id}.json"), "w") as f:
         json.dump({"losses": losses, "step": int(fresh.step)}, f)
