@@ -81,9 +81,11 @@ def quantize_activation_tensor(x: jax.Array):
 @jax.custom_vjp
 def _int8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array) -> jax.Array:
     """Forward on the int8 MXU; backward is the straight-through estimator
-    d x = g @ dequant(w) (an ordinary bf16 matmul) — ``round`` has zero
-    gradient a.e., so without this, gradients flowing *through* a quantized
-    layer (stage-2 QLoRA stacks, int8 DiT forward) would vanish."""
+    dx = g @ dequant(w), itself run on the int8 MXU via scale folding (the
+    _switchback_bwd pattern: W[o,i] = wq[o,i]·ws[o], ws constant along the
+    contraction, so dx = (g·ws)_q @ wq).  ``round`` has zero gradient a.e.,
+    so without the STE, gradients flowing *through* a quantized layer
+    (stage-2 QLoRA stacks, int8 DiT forward) would vanish."""
     xq, sx = quantize_activation_rows(x)
     acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
@@ -98,10 +100,12 @@ def _int8_matmul_fwd(x, wq, ws):
 def _int8_matmul_bwd(res, g):
     import numpy as np
     wq, ws = res
-    w = (wq.astype(jnp.float32) * ws).astype(g.dtype)          # [out, in]
-    # g.dtype == x.dtype (forward casts the output to x.dtype)
-    dx = jax.lax.dot_general(g, w, (((g.ndim - 1,), (0,)), ((), ())),
-                             preferred_element_type=g.dtype)
+    # int8 dx with the per-out-row scale folded into g's row quantization —
+    # the weight stays int8 end to end (no dequantized bf16 copy of W).
+    gq, sg = quantize_activation_rows(g, col_scale=ws[:, 0])
+    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dx = (acc.astype(jnp.float32) * sg).astype(g.dtype)
     return (dx,
             np.zeros(wq.shape, jax.dtypes.float0),             # int8 primal
             jnp.zeros_like(ws))
@@ -463,6 +467,65 @@ def quantize_linear_tree(params, min_features: int = 64):
         return node
 
     return rec(params)
+
+
+def quantize_lora_base(params, min_features: int = 64):
+    """QLoRA-style stage-2 quantization: add int8 factors ALONGSIDE the kept
+    bf16 weight for every eligible linear — including LoRA-wrapped nodes.
+
+    core.nn.linear prefers ``weight_q`` for the base matmul (int8 MXU fwd +
+    int8 dx through the frozen base) and adds the LoRA branch in the
+    activation dtype; the original ``weight`` stays in the tree untouched
+    because stage-2 must merge LoRA into it and export the tower in HF
+    format (train.lora.merge reads ``weight``, drops the factors).  HBM
+    cost: +0.5 byte/param over bf16 for the int8 copy (CLIP-L: ~0.4 GB).
+
+    Export semantics (standard QLoRA): training adapts LoRA against the
+    *quantized* base, the export merges into the *bf16* base — the exported
+    tower differs from the trained-effective one by the base quantization
+    error (per-channel int8, ~0.2% relative).  Opt-in via tower_quant: int8
+    on a stage-2 config."""
+    def rec(node, path=""):
+        if isinstance(node, dict):
+            out = dict(node)
+            w = node.get("weight")
+            if (w is not None and getattr(w, "ndim", 0) == 2
+                    and min(w.shape) >= min_features
+                    and not any(s in path for s in
+                                ("embedding", "embeddings", "logit_scale",
+                                 "position_embedding"))):
+                q, s = quantize_weight(w, axis=0)
+                out["weight_q"], out["w_scale"] = q, s
+            for k, v in list(out.items()):
+                if k in ("weight", "weight_q", "w_scale", "bias",
+                         "lora_A", "lora_B", "lora_scale"):
+                    continue
+                out[k] = rec(v, f"{path}.{k}" if path else k)
+            return out
+        if isinstance(node, (list, tuple)):
+            return [rec(v, f"{path}.{i}" if path else str(i))
+                    for i, v in enumerate(node)]
+        return node
+
+    return rec(params)
+
+
+def refresh_static_quant_flat(flat_params: dict) -> dict:
+    """Re-derive every static ``*.weight_q``/``*.w_scale`` pair from its kept
+    ``*.weight`` master in a FLAT params dict.  Needed after a checkpoint
+    load replaces master weights that were quantized at init (stage-2 loads
+    stage-1 DiT .bins after init_modules ran quantize_lora_base)."""
+    out = dict(flat_params)
+    for path in flat_params:
+        if path.endswith(".weight_q"):
+            wpath = path[:-2]                       # ".weight_q" -> ".weight"
+            w = flat_params.get(wpath)
+            if w is not None:
+                axis = 0 if getattr(w, "ndim", 0) == 2 else 3   # linear | conv
+                q, s = quantize_weight(w, axis=axis)
+                out[path] = q
+                out[path[:-9] + ".w_scale"] = s
+    return out
 
 
 def quantize_conv_tree(params, min_channels: int = 32):

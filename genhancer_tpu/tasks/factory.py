@@ -76,12 +76,18 @@ def build_task(cfg, key: Optional[jax.Array] = None):
     dc = cfg.get("data_config", {}) or {}
     img_size = int(dc.get("img_size", 224))
     clip_image_size = int(cc.get("clip_image_size", img_size))
-    if dc.get("precomputed") and not task.endswith("stage1"):
+    if (dc.get("precomputed") and dc.get("precomputed") != "latents"
+            and not task.endswith("stage1")):
         # fail before building any model: stage-2 trains the tower (LoRA),
-        # so conditioning features must be computed live
+        # so conditioning FEATURES must be computed live.  The latent cache
+        # (precomputed: "latents" — moments + crops, no tower features,
+        # genhancer-precompute --mode latents) is legal in every stage: the
+        # VAE is frozen everywhere and the tower trains on the cached crop.
         raise ValueError(
-            "data_config.precomputed is stage-1 only: stage-2 trains the "
-            "tower (LoRA), so conditioning features must be computed live")
+            "data_config.precomputed (features cache) is stage-1 only: "
+            "stage-2 trains the tower (LoRA), so conditioning features must "
+            "be computed live.  Use precomputed: 'latents' with a "
+            "--mode latents cache to skip just the frozen VAE")
 
     kind, tower_cfg = registry.tower_family_and_config(
         tower, clip_image_size, cc.get("clip_type"))
@@ -114,12 +120,13 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   # noises the latent.  `vae_dtype: fp32` restores parity.
                   vae_dtype=(jnp.float32 if cfg.get("vae_dtype") == "fp32"
                              else jnp.bfloat16),
-                  # int8 is stage-1-only for the tower: stage-2 trains and
-                  # exports the tower, and the HF export path needs the
-                  # original bf16 base weights
-                  tower_quant=(cfg.get("tower_quant", "none")
-                               if str(cfg.get("task", "")).endswith("stage1")
-                               else "none"),
+                  # stage-1: frozen int8 teacher (weight replaced).  stage-2:
+                  # QLoRA-style — int8 compute factors alongside the KEPT
+                  # bf16 base (quant.quantize_lora_base), so the LoRA merge +
+                  # HF export still read the original weights; the export
+                  # merges into the bf16 base (standard QLoRA semantics,
+                  # base-quant error ~0.2% relative — documented there)
+                  tower_quant=cfg.get("tower_quant", "none"),
                   vae_quant=cfg.get("vae_quant", "none"),
                   # SwitchBack int8 DiT training (core.quant): "int8" (bf16
                   # dW), "int8_dw" (Pallas per-block-quant dW), or

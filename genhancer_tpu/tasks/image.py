@@ -127,13 +127,28 @@ def init_modules(key: jax.Array, spec: TaskSpec,
             r=spec.lora_r, alpha=spec.lora_alpha, targets=spec.lora_targets)
     if spec.tower_quant == "int8":
         from ..core import quant
-        modules["clip"]["model"] = quant.quantize_linear_tree(
-            modules["clip"]["model"])
+        if spec.stage in ("stage2_only", "stage2_all"):
+            # QLoRA-style: int8 factors alongside the KEPT bf16 base — the
+            # base weight must survive for the LoRA merge + HF export
+            modules["clip"]["model"] = quant.quantize_lora_base(
+                modules["clip"]["model"])
+        else:
+            modules["clip"]["model"] = quant.quantize_linear_tree(
+                modules["clip"]["model"])
     if spec.vae_quant == "int8":
         from ..core import quant
         modules["vae"] = dict(
             modules["vae"],
             encoder=quant.quantize_conv_tree(modules["vae"]["encoder"]))
+    if spec.stage == "stage2_only" and spec.dit_quant != "none":
+        # the DiT is FROZEN in stage2_only — SwitchBack would compute a dW
+        # that is immediately discarded; a static int8 base (int8 fwd +
+        # int8 dx, no dW) is the right quantization.  The bf16 master is
+        # kept so stage-1 checkpoint loads still land on .weight — the
+        # trainer refreshes the factors after load
+        # (quant.refresh_static_quant_flat).
+        from ..core import quant
+        modules["dit"] = quant.quantize_lora_base(modules["dit"])
     return modules
 
 
@@ -169,17 +184,18 @@ def make_loss_fn(spec: TaskSpec, mesh=None):
                                    **merged_quant_flat(quant)})
         k_vae, k_t, k_noise, k_drop = jax.random.split(key, 4)
 
+        # The moments/cls batch keys gate the two frozen paths independently
+        # (trace-time branches — data.precompute):
+        #   {image}               inline: VAE + tower live
+        #   {moments, cls}        stage-1 features cache: both skipped
+        #   {moments, image}      latent cache: VAE skipped, tower live on
+        #                         the cached crop (the only legal cache for
+        #                         stage-2, which trains the tower)
         if "moments" in batch:
-            # precomputed conditioning (data.precompute): the frozen VAE
-            # encoder and tower ran offline; sample the posterior fresh from
-            # the cached moments (same key split -> same train distribution)
+            # the frozen VAE encoder ran offline; sample the posterior fresh
+            # from the cached moments (same key split -> same distribution)
             z = vae_m.diagonal_gaussian(k_vae, batch["moments"].astype(jnp.float32))
             x1_lat = spec.vae_cfg.scale_factor * (z - spec.vae_cfg.shift_factor)
-            x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
-            from .conditioning import image_conditioning_from_cls
-            cond = image_conditioning_from_cls(
-                params["clip"], batch["cls"], spec.latent_hw,
-                compute_dtype=spec.compute_dtype)
             b = batch["moments"].shape[0]
         else:
             imgs = batch["image"]                   # [B, H, W, 3] in [0, 1]
@@ -187,25 +203,35 @@ def make_loss_fn(spec: TaskSpec, mesh=None):
             vae_in = normalize(imgs, VAE_MEAN, VAE_STD).astype(jnp.float32)
             x1_lat = vae_m.vae_encode(params["vae"], spec.vae_cfg, vae_in, k_vae,
                                       dtype=spec.vae_dtype)
-            x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
+            b = batch["image"].shape[0]
+        x1 = dit_m.pack_latent(x1_lat).astype(jnp.float32)
 
+        if "cls" in batch:
+            from .conditioning import image_conditioning_from_cls
+            cond = image_conditioning_from_cls(
+                params["clip"], batch["cls"], spec.latent_hw,
+                compute_dtype=spec.compute_dtype)
+        else:
             # LoRA dropout (peft parity, train_SigLIP_stage2_all.py:134-143)
             # applies only to LoRA-wrapped linears, i.e. the stage-2 tower.
             from ..core.nn import lora_dropout_ctx
             with lora_dropout_ctx(k_drop, spec.lora_dropout):
-                cond = image_conditioning(spec.tower_kind, params["clip"], imgs,
-                                          spec.tower_cfg, spec.latent_hw,
+                cond = image_conditioning(spec.tower_kind, params["clip"],
+                                          batch["image"], spec.tower_cfg,
+                                          spec.latent_hw,
                                           compute_dtype=spec.compute_dtype)
-            b = imgs.shape[0]
         t = flow.sample_timesteps(k_t, b, spec.scale_factor)
         x0 = jax.random.normal(k_noise, x1.shape, jnp.float32)
         xt = flow.interpolate(x1, x0, t)
         guidance = jnp.full((b,), spec.guidance, spec.compute_dtype)
 
         from ..core.nn import int8_training_ctx
+        # stage2_only: the DiT is frozen and statically quantized at init
+        # (init_modules) — the SwitchBack training ctx does not apply
         with (int8_training_ctx(full=spec.dit_quant == "int8_full",
                                 dw_int8=spec.dit_quant == "int8_dw")
-              if spec.dit_quant in ("int8", "int8_full", "int8_dw")
+              if (spec.dit_quant in ("int8", "int8_full", "int8_dw")
+                  and spec.stage != "stage2_only")
               else contextlib.nullcontext()), ring_ctx():
             pred = dit_m.dit_forward(
                 params["dit"], spec.dit_cfg,

@@ -135,8 +135,14 @@ def init_modules(key: jax.Array, spec: VideoTaskSpec,
             r=spec.lora_r, alpha=spec.lora_alpha, targets=spec.lora_targets)
     if spec.tower_quant == "int8":
         from ..core import quant
-        modules["clip"]["model"] = quant.quantize_linear_tree(
-            modules["clip"]["model"])
+        if spec.stage == "stage2_all":
+            # QLoRA-style: int8 factors alongside the KEPT bf16 base — the
+            # base weight must survive for the LoRA merge + HF export
+            modules["clip"]["model"] = quant.quantize_lora_base(
+                modules["clip"]["model"])
+        else:
+            modules["clip"]["model"] = quant.quantize_linear_tree(
+                modules["clip"]["model"])
     if spec.vae_quant == "int8":
         from ..core import quant
         modules["vae"] = dict(

@@ -102,11 +102,15 @@ def merge(params):
                 if "bias" in node:
                     out["bias"] = node["bias"]
                 for k, v in node.items():
-                    if k in ("weight", "bias", "lora_A", "lora_B", "lora_scale"):
+                    # weight_q/w_scale: derived QLoRA int8 compute factors
+                    # (core.quant.quantize_lora_base) — never exported
+                    if k in ("weight", "bias", "lora_A", "lora_B",
+                             "lora_scale", "weight_q", "w_scale"):
                         continue
                     out[k] = rec(v)
                 return out
-            return {k: rec(v) for k, v in node.items()}
+            return {k: rec(v) for k, v in node.items()
+                    if k not in ("weight_q", "w_scale")}
         if isinstance(node, (list, tuple)):
             return [rec(v) for v in node]
         return node

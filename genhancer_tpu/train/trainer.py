@@ -153,6 +153,11 @@ class Trainer:
                 self.state, cfg["load_dir"], int(cfg["load_step"]), self.ckpt_kind)
             log.info("loaded stage-1 components from %s step %s",
                      cfg["load_dir"], cfg["load_step"])
+            # static int8 factors (QLoRA tower / frozen stage2_only DiT) were
+            # derived at init — re-derive from the just-loaded masters
+            from ..core.quant import refresh_static_quant_flat
+            self.state = self.state.replace(
+                frozen=refresh_static_quant_flat(self.state.frozen))
 
         # ``checkpoint_backend``: "torch" (reference artifact layout, gathers
         # to process 0) | "orbax" (sharded save, every host writes its own

@@ -46,6 +46,11 @@ def main():
                     choices=["fused", "chained", "pallas"])
     ap.add_argument("--dit-quant", type=str, default="none",
                     choices=["none", "int8", "int8_full", "int8_dw"])
+    ap.add_argument("--tower-quant", type=str, default="none",
+                    choices=["none", "int8"],
+                    help="int8 frozen tower base (stage-2 probes: QLoRA-style)")
+    ap.add_argument("--vae-quant", type=str, default="none",
+                    choices=["none", "int8"])
     ap.add_argument("--remat-policy", type=str, default=None,
                     choices=[None, "full", "save_attn", "dots"],
                     help="enable per-block remat with this policy (default "
@@ -304,6 +309,75 @@ def main():
         print("step_pre:", results["step_pre_ms"], results["step_pre_imgps"],
               flush=True)
         del step, st
+
+    if any(want(n) for n in ("step_s2", "step_s2all",
+                             "step_s2_pre", "step_s2all_pre")):
+        # stage-2: tower inside autodiff with LoRA (reference schedule B=16,
+        # train_SigLIP_stage2_all.py) — the stage whose hot loop is the
+        # tower fwd+bwd, not the DiT.  *_pre variants feed the latent cache
+        # (moments + crop pixels, data.precompute mode=latents): the frozen
+        # VAE encode drops out of the step
+        for name, stage in (("step_s2", "stage2_only"),
+                            ("step_s2all", "stage2_all"),
+                            ("step_s2_pre", "stage2_only"),
+                            ("step_s2all_pre", "stage2_all")):
+            if not want(name):
+                continue
+            if name.endswith("_pre"):
+                h, w = make_spec(stage=stage).latent_hw
+                zc = 2 * make_spec(stage=stage).vae_cfg.z_channels
+                s2_batch = {
+                    "image": batch["image"],
+                    "moments": jnp.asarray(
+                        rng.normal(size=(args.batch, h, w, zc))
+                        .astype(np.float32) * 0.3)}
+            else:
+                s2_batch = batch
+            # stage2_all: SwitchBack training quant on the DiT.  stage2_only:
+            # the task statically quantizes the FROZEN DiT (int8 fwd + int8
+            # dx, no dW) — "int8" is the only meaningful value there.
+            spec_s2 = make_spec(stage=stage, vae_dtype=jnp.bfloat16,
+                                vae_quant=args.vae_quant,
+                                tower_quant=args.tower_quant,
+                                lora_dropout=0.1,
+                                dit_quant=(args.dit_quant
+                                           if stage == "stage2_all"
+                                           else ("int8" if args.dit_quant
+                                                 != "none" else "none")))
+            step = image_task.make_train_step(spec_s2, optimizer)
+            st = image_task.create_task_state(jax.random.key(0), spec_s2,
+                                              optimizer)
+            for i in range(2):
+                st, m = step(st, s2_batch, jax.random.fold_in(key, i))
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                st, m = step(st, s2_batch, jax.random.fold_in(key, 100 + i))
+            float(m["loss"])
+            results[f"{name}_ms"] = (time.perf_counter() - t0) / args.iters * 1000.0
+            results[f"{name}_imgps"] = args.batch / results[f"{name}_ms"] * 1000.0
+            print(name, results[f"{name}_ms"], results[f"{name}_imgps"],
+                  flush=True)
+            del step, st
+
+    if want("cond_bwd"):
+        # tower conditioning fwd+bwd through LoRA (the stage-2 hot component)
+        spec_s2 = make_spec(stage="stage2_only")
+        modules = image_task.init_modules(jax.random.key(0), spec_s2)
+
+        @jax.jit
+        def cond_bwd_fn(cp, imgs):
+            def loss(cp_):
+                c = image_conditioning("clip", cp_, imgs, tower_cfg,
+                                       spec_s2.latent_hw,
+                                       compute_dtype=jnp.bfloat16)
+                return (jnp.sum(c["txt"].astype(jnp.float32) ** 2)
+                        + jnp.sum(c["vec"].astype(jnp.float32) ** 2))
+            return jax.grad(loss)(cp)
+
+        results["cond_bwd_ms"] = timeit(cond_bwd_fn, modules["clip"],
+                                        batch["image"], iters=args.iters)
+        print("cond_bwd:", results["cond_bwd_ms"], flush=True)
 
     if want("step"):
         for name, spec in (("step_f32vae_ms", spec_f32), ("step_bf16vae_ms", spec_bf16)):

@@ -43,7 +43,10 @@ class TestQuantNumerics:
         assert rel.mean() < 0.03, rel.mean()
 
     def test_ste_gradient_matches_dequant_matmul(self):
-        """d x through the int8 layer must be g @ dequant(W), not zero."""
+        """d x through the int8 layer must track g @ dequant(W), not vanish.
+        The dx matmul itself runs on the int8 MXU (g row-quantized with the
+        weight scales folded in — _int8_matmul_bwd), so the tolerance is the
+        int8 dynamic-quant level, not bf16."""
         rng = np.random.default_rng(3)
         w = rng.normal(size=(24, 16)).astype(np.float32)
         x = jnp.asarray(rng.normal(size=(5, 16)).astype(np.float32))
@@ -54,7 +57,9 @@ class TestQuantNumerics:
         g = jax.grad(lambda x_: jnp.sum(nn.linear(p, x_) ** 2))(x)
         y = np.asarray(nn.linear(p, x))
         want = 2 * y @ deq
-        np.testing.assert_allclose(np.asarray(g), want, rtol=2e-3, atol=2e-3)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(np.asarray(g), want, rtol=0.03,
+                                   atol=0.03 * scale)
         assert np.abs(np.asarray(g)).max() > 0
 
     def test_lora_composes_with_int8_base(self):
@@ -88,6 +93,61 @@ class TestTreeSurgery:
         assert "weight" in out["small"]
         assert "weight" in out["wrapped"]          # LoRA-wrapped untouched
         assert "weight" in out["embeddings"]["token_embedding"]
+
+    def test_quantize_lora_base_keeps_weight(self):
+        """QLoRA surgery: int8 factors added ALONGSIDE the kept bf16 weight,
+        on wrapped and unwrapped linears alike (stage-2 must merge + export
+        the originals)."""
+        rng = np.random.default_rng(11)
+        tree = {
+            "plain": {"weight": jnp.asarray(
+                rng.normal(size=(128, 128)).astype(np.float32))},
+            "small": {"weight": jnp.ones((8, 8))},
+            "wrapped": {"weight": jnp.asarray(
+                            rng.normal(size=(128, 128)).astype(np.float32)),
+                        "lora_A": jnp.ones((2, 128)),
+                        "lora_B": jnp.zeros((128, 2)),
+                        "lora_scale": jnp.asarray(1.0)},
+            "embeddings": {"token_embedding": {"weight": jnp.ones((100, 128))}},
+        }
+        out = quant.quantize_lora_base(tree)
+        for name in ("plain", "wrapped"):
+            assert "weight_q" in out[name] and "weight" in out[name], name
+            deq = np.asarray(out[name]["weight_q"].astype(jnp.float32)
+                             * out[name]["w_scale"])
+            np.testing.assert_allclose(deq, np.asarray(out[name]["weight"]),
+                                       atol=np.abs(deq).max() / 100)
+        assert "weight_q" not in out["small"]
+        assert "weight_q" not in out["embeddings"]["token_embedding"]
+
+    def test_merge_drops_quant_factors(self):
+        """train.lora.merge on a QLoRA tree must produce the same export as
+        on the unquantized tree — no weight_q/w_scale anywhere."""
+        from genhancer_tpu.train import lora as lora_m
+        rng = np.random.default_rng(12)
+        node = {"weight": jnp.asarray(rng.normal(size=(128, 128))
+                                      .astype(np.float32)),
+                "bias": jnp.zeros((128,)),
+                "lora_A": jnp.asarray(rng.normal(size=(2, 128))
+                                      .astype(np.float32)),
+                "lora_B": jnp.asarray(rng.normal(size=(128, 2))
+                                      .astype(np.float32)),
+                "lora_scale": jnp.asarray(0.5)}
+        plain_node = {"weight": jnp.asarray(rng.normal(size=(128, 128))
+                                            .astype(np.float32))}
+        tree = {"wrapped": node, "plain": plain_node}
+        merged_ref = lora_m.merge(tree)
+        merged_q = lora_m.merge(quant.quantize_lora_base(tree))
+        flat_q = jax.tree_util.tree_leaves_with_path(merged_q)
+        assert not any("weight_q" in jax.tree_util.keystr(p) or
+                       "w_scale" in jax.tree_util.keystr(p)
+                       for p, _ in flat_q)
+        for (pa, a), (pb, b) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(merged_ref),
+                       key=lambda t: jax.tree_util.keystr(t[0])),
+                sorted(flat_q, key=lambda t: jax.tree_util.keystr(t[0]))):
+            assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_quantize_conv_tree(self):
         tree = {"conv1": {"weight": jnp.ones((3, 3, 64, 64)),
@@ -141,6 +201,132 @@ class TestInt8Stage1Step:
             assert np.isfinite(losses[quantized])
         # same init/key/noise; only the frozen-path quant noise differs
         assert abs(losses[True] - losses[False]) / losses[False] < 0.08, losses
+
+
+class TestQLoRAStage2:
+    @pytest.mark.slow
+    def test_stage2_qlora_step_trains_and_tracks_bf16(self):
+        """Stage-2 with the int8 frozen base (tower_quant: int8): only LoRA
+        params + wrapped biases train, the loss tracks the unquantized run,
+        and the kept bf16 base weight is untouched by the step."""
+        from genhancer_tpu.tasks import image as image_task
+        from genhancer_tpu.models import dit as dit_m, vae as vae_m
+        from genhancer_tpu.models.towers import clip as clip_m
+        from genhancer_tpu.train import optim
+        from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+
+        tower_cfg = clip_m.CLIPConfig(
+            vision=clip_m.CLIPVisionConfig(hidden_size=64, intermediate_size=128,
+                                           num_layers=2, num_heads=2,
+                                           image_size=28, patch_size=14),
+            text=clip_m.CLIPTextConfig(hidden_size=64, intermediate_size=128,
+                                       num_layers=1, num_heads=2, vocab_size=50,
+                                       max_position_embeddings=8),
+            projection_dim=64)
+
+        def make(quantized):
+            return image_task.TaskSpec(
+                stage="stage2_only", tower_kind="clip", img_size=32,
+                clip_image_size=28, dit_cfg=dit_m.DIT_CONFIGS["flux-debug"],
+                vae_cfg=vae_m.VAE_CONFIGS["flux-debug"], tower_cfg=tower_cfg,
+                compute_dtype=jnp.float32, dit_param_dtype=jnp.float32,
+                lora_targets="all-linear",
+                tower_quant="int8" if quantized else "none")
+
+        opt = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        batch = {"image": jnp.asarray(
+            np.random.default_rng(0).random((2, 32, 32, 3), np.float32))}
+
+        losses = {}
+        for quantized in (False, True):
+            spec = make(quantized)
+            state = image_task.create_task_state(jax.random.key(0), spec, opt)
+            if quantized:
+                assert any(p.endswith(".weight_q") for p in state.frozen)
+                # every quantized node keeps its bf16 base for merge/export
+                for p in state.frozen:
+                    if p.endswith(".weight_q"):
+                        assert p[:-2] in state.frozen, p   # .weight_q -> .weight
+            assert all(".lora_" in p or p.endswith(".bias")
+                       for p in state.trainable)
+            base_before = {p: np.asarray(v) for p, v in state.frozen.items()
+                           if p.endswith(".weight")}
+            step = image_task.make_train_step(spec, opt)
+            for i in range(2):
+                state, m = step(state, batch, jax.random.key(i))
+            losses[quantized] = float(m["loss"])
+            assert np.isfinite(losses[quantized])
+            for p, v in state.frozen.items():
+                if p in base_before:
+                    np.testing.assert_array_equal(np.asarray(v), base_before[p])
+        assert abs(losses[True] - losses[False]) / losses[False] < 0.08, losses
+
+
+    @pytest.mark.slow
+    def test_stage2_only_frozen_dit_int8(self):
+        """dit_quant on stage2_only = static int8 base (the DiT is frozen —
+        no SwitchBack ctx, no dW): weight_q factors live in frozen state,
+        the bf16 master is kept, and the loss tracks the exact run."""
+        from genhancer_tpu.tasks import image as image_task
+        from genhancer_tpu.models import dit as dit_m, vae as vae_m
+        from genhancer_tpu.models.towers import clip as clip_m
+        from genhancer_tpu.train import optim
+        from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+
+        tower_cfg = clip_m.CLIPConfig(
+            vision=clip_m.CLIPVisionConfig(hidden_size=64, intermediate_size=128,
+                                           num_layers=1, num_heads=2,
+                                           image_size=28, patch_size=14),
+            text=clip_m.CLIPTextConfig(hidden_size=64, intermediate_size=128,
+                                       num_layers=1, num_heads=2, vocab_size=50,
+                                       max_position_embeddings=8),
+            projection_dim=64)
+
+        def make(q):
+            return image_task.TaskSpec(
+                stage="stage2_only", tower_kind="clip", img_size=32,
+                clip_image_size=28, dit_cfg=dit_m.DIT_CONFIGS["flux-debug"],
+                vae_cfg=vae_m.VAE_CONFIGS["flux-debug"], tower_cfg=tower_cfg,
+                compute_dtype=jnp.float32, dit_param_dtype=jnp.float32,
+                dit_quant="int8" if q else "none")
+
+        opt = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        batch = {"image": jnp.asarray(
+            np.random.default_rng(0).random((2, 32, 32, 3), np.float32))}
+        losses = {}
+        for q in (False, True):
+            spec = make(q)
+            state = image_task.create_task_state(jax.random.key(0), spec, opt)
+            dit_q_paths = [p for p in state.frozen
+                           if p.startswith("dit.") and p.endswith(".weight_q")]
+            assert bool(dit_q_paths) == q
+            if q:
+                for p in dit_q_paths:
+                    assert p[:-2] in state.frozen     # master kept
+            step = image_task.make_train_step(spec, opt)
+            state, m = step(state, batch, jax.random.key(3))
+            losses[q] = float(m["loss"])
+            assert np.isfinite(losses[q])
+        assert abs(losses[True] - losses[False]) / losses[False] < 0.08, losses
+
+    def test_refresh_static_quant_flat(self):
+        """After a checkpoint load replaces a kept master, the derived int8
+        factors must be re-derivable to match a fresh quantization."""
+        rng = np.random.default_rng(5)
+        w0 = jnp.asarray(rng.normal(size=(96, 96)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(96, 96)).astype(np.float32) * 2.0)
+        q0, s0 = quant.quantize_weight(w0, axis=0)
+        flat = {"dit.blk.weight": w1,          # master replaced by a load
+                "dit.blk.weight_q": q0,        # stale factors from init
+                "dit.blk.w_scale": s0,
+                "dit.other.weight": w0}        # unquantized: untouched
+        out = quant.refresh_static_quant_flat(flat)
+        q1, s1 = quant.quantize_weight(w1, axis=0)
+        np.testing.assert_array_equal(np.asarray(out["dit.blk.weight_q"]),
+                                      np.asarray(q1))
+        np.testing.assert_array_equal(np.asarray(out["dit.blk.w_scale"]),
+                                      np.asarray(s1))
+        assert out["dit.other.weight"] is w0
 
 
 class TestPallasInt8DW:
