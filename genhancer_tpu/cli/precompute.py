@@ -48,6 +48,14 @@ def main(argv=None) -> dict:
                              "augmentation distribution for single-epoch "
                              "schedules; set K >= ceil(epochs) so revisits "
                              "of the same image also get fresh crops")
+    parser.add_argument("--mode", choices=("features", "latents"),
+                        default="features",
+                        help="features: moments + tower features (stage-1 "
+                             "cache, both frozen paths skipped).  latents: "
+                             "moments + the crop pixels, no tower — the "
+                             "stage-2 cache (tower trains live on the "
+                             "cached crop); train with data_config."
+                             "precomputed: 'latents'")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -86,9 +94,18 @@ def main(argv=None) -> dict:
     compute_dtype = (jnp.bfloat16
                      if cfg.get("mixed_precision", "bf16") == "bf16"
                      else jnp.float32)
-    fn = pre.make_frozen_fn(kind, tower_params, tower_cfg, vae_params, vae_cfg,
-                            vae_dtype=vae_dtype, compute_dtype=compute_dtype,
-                            with_patches=is_video)
+    if args.mode == "latents":
+        if is_video:
+            parser.error("--mode latents is image-only for now (the video "
+                         "stage-2 hot path is the n_cond-frame tower pass, "
+                         "not the single target-frame VAE encode)")
+        fn = pre.make_frozen_latent_fn(vae_params, vae_cfg,
+                                       vae_dtype=vae_dtype)
+    else:
+        fn = pre.make_frozen_fn(kind, tower_params, tower_cfg, vae_params,
+                                vae_cfg, vae_dtype=vae_dtype,
+                                compute_dtype=compute_dtype,
+                                with_patches=is_video)
     if is_video:
         n = pre.precompute_video_dir(src, args.output_dir, fn, img_size,
                                      batch=args.batch,
@@ -107,7 +124,8 @@ def main(argv=None) -> dict:
                                      samples_per_shard=args.samples_per_shard,
                                      augment=args.augment,
                                      variants=args.variants,
-                                     seed=int(cfg.get("seed", 0)))
+                                     seed=int(cfg.get("seed", 0)),
+                                     mode=args.mode)
         log.info("cached %d images -> %s", n, args.output_dir)
     return {"written": n, "output_dir": args.output_dir}
 

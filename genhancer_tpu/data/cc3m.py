@@ -92,11 +92,25 @@ class CC3MLoader:
             yield self._batch(images, texts)
 
     def _iter_precomputed(self) -> Iterator[Dict]:
-        """Batches from .feat.npz shards (data.precompute): {moments, cls} —
-        the task loss skips the frozen VAE/tower for these."""
+        """Batches from .feat.npz shards (data.precompute).
+
+        Features cache (stage-1): {moments, cls} — the task loss skips the
+        frozen VAE AND tower.  Latent cache (``precomputed: "latents"``,
+        usable in every stage incl. stage-2): {moments, pixels} — the loss
+        skips only the VAE and runs the tower live on the cached crop."""
         from .precompute import load_feat
-        moments, cls, texts = [], [], []
+        cols: Dict[str, list] = {}
+        texts = []
         seen = loaded = 0
+        want_latents = self.precomputed == "latents"
+
+        def emit():
+            out = {k: np.stack(v) for k, v in cols.items()}
+            if "pixels" in out:
+                out["image"] = out.pop("pixels").astype(np.float32)
+            out["text"] = list(texts)
+            return out
+
         for sample in self.stream:
             seen += 1
             blob = sample.get("feat.npz")
@@ -113,28 +127,38 @@ class CC3MLoader:
                 feats = load_feat(blob)
             except Exception:
                 continue
+            if loaded == 0:
+                if want_latents and "pixels" not in feats:
+                    raise RuntimeError(
+                        "precomputed: 'latents' but the cache has no pixels "
+                        "member — re-run genhancer-precompute --mode latents "
+                        "(stage-2 trains the tower and needs the crops)")
+                if not want_latents and "cls" not in feats:
+                    raise RuntimeError(
+                        "features cache expected (precomputed: true) but the "
+                        "shards are a latents cache — set precomputed: "
+                        "'latents' in data_config")
             loaded += 1
             if feats["moments"].ndim == 4:
                 # augmentation-preserving cache (data.precompute variants>1):
-                # K i.i.d. RandomResizedCrop feature sets per image — a
-                # uniformly-drawn variant is a fresh draw from the reference
-                # augmentation distribution
+                # K i.i.d. RandomResizedCrop draws per image — a uniformly-
+                # drawn variant is a fresh draw from the reference
+                # augmentation distribution (same j for every member so the
+                # moments/crop pair stays consistent)
                 j = int(self.rng.integers(feats["moments"].shape[0]))
-                moments.append(feats["moments"][j])
-                cls.append(feats["cls"][j])
+                for k, v in feats.items():
+                    cols.setdefault(k, []).append(v[j])
             else:
-                moments.append(feats["moments"])
-                cls.append(feats["cls"])
+                for k, v in feats.items():
+                    cols.setdefault(k, []).append(v)
             t = sample.get("txt", b"")
             texts.append(t.decode("utf-8", "replace")
                          if isinstance(t, bytes) else str(t))
-            if len(moments) == self.batch_size:
-                yield {"moments": np.stack(moments), "cls": np.stack(cls),
-                       "text": list(texts)}
-                moments, cls, texts = [], [], []
-        if moments:
-            yield {"moments": np.stack(moments), "cls": np.stack(cls),
-                   "text": list(texts)}
+            if len(texts) == self.batch_size:
+                yield emit()
+                cols, texts = {}, []
+        if texts:
+            yield emit()
 
     def __iter__(self) -> Iterator[Dict]:
         if self.precomputed:

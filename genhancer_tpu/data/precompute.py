@@ -23,8 +23,19 @@ Format: per frame (video) ``{video_key}/{frame}.feat.npz`` with arrays
 ``moments`` [h, w, 2z] f32, ``patches`` [L_p, D] bf16-as-f16, ``vec`` [P]
 f32; per image ``{key}.feat.npz`` with ``moments``, ``cls`` (plus the
 original ``txt`` member passed through).  Tower features are pre-projection
-(frozen tower only — stage-2, which trains the tower, must not use a cache
-and the factory rejects the combination).
+(frozen tower only — stage-2, which trains the tower, must not use a
+features cache and the factory rejects the combination).
+
+Stage-2 latent cache (``mode="latents"``): stage-2 trains the tower, so its
+features cannot be cached — but the VAE encoder is frozen in EVERY stage.
+Latents mode stores ``moments`` plus the transformed crop ``pixels``
+([S, S, 3] f16 in [0,1], stacked [K, ...] per variant) instead of tower
+features; the loader emits ``{"image", "moments"}`` batches and the task
+loss samples the posterior from the cache while running the tower live on
+the SAME crop the moments were computed from.  f16 pixel storage bounds the
+crop round-trip error at ~5e-4 relative (below the bf16 tower input
+quantization), so the training distribution is preserved to compute
+precision.
 """
 
 from __future__ import annotations
@@ -132,6 +143,20 @@ def make_frozen_fn(tower_kind: str, tower_params, tower_cfg, vae_params,
     return functools.partial(fn, tower_params, vae_params)
 
 
+def make_frozen_latent_fn(vae_params, vae_cfg, *, vae_dtype=jnp.float32):
+    """jitted pixels [B, H, W, 3] in [0,1] -> {"moments"} only — the
+    stage-2 latent cache (no tower: stage-2 trains it live)."""
+
+    @jax.jit
+    def fn(vp, px01):
+        vae_in = normalize(px01, VAE_MEAN, VAE_STD).astype(vae_dtype)
+        moments = vae_m.encoder_forward(vp["encoder"], vae_cfg, vae_in)
+        return {"moments": moments.astype(jnp.float32)}
+
+    import functools
+    return functools.partial(fn, vae_params)
+
+
 def _batched(fn, arrs: np.ndarray, batch: int) -> Dict[str, np.ndarray]:
     """Run ``fn`` over ``arrs`` in fixed-size batches (last one padded so jit
     sees one shape); returns stacked host arrays of the true length."""
@@ -190,8 +215,14 @@ def precompute_video_dir(video_dir, out_dir: str, frozen_fn, img_size: int,
 def precompute_image_dir(img_dir, out_dir: str, frozen_fn, img_size: int,
                          batch: int = 32, samples_per_shard: int = 2000,
                          num_workers: int = 4, augment: str = "center",
-                         variants: int = 1, seed: int = 0) -> int:
+                         variants: int = 1, seed: int = 0,
+                         mode: str = "features") -> int:
     """Cache CC3M-style image shards; returns samples written.
+
+    ``mode="latents"`` (stage-2 cache): ``frozen_fn`` should be
+    ``make_frozen_latent_fn`` (moments only) and each variant's transformed
+    crop is stored alongside as f16 ``pixels`` — the tower trains live on
+    the exact crop the moments came from.
 
     ``augment="center"`` keeps the deterministic center-crop cache (one
     feature set per image).  ``augment="train"`` is the
@@ -219,6 +250,8 @@ def precompute_image_dir(img_dir, out_dir: str, frozen_fn, img_size: int,
         raise ValueError(f"augment must be center|train, got {augment!r}")
     if augment == "center" and variants != 1:
         raise ValueError("variants > 1 requires augment='train'")
+    if mode not in ("features", "latents"):
+        raise ValueError(f"mode must be features|latents, got {mode!r}")
     k_var = variants if augment == "train" else 1
 
     stream = ShardStream(img_dir, shuffle_buffer=0, repeat=False)
@@ -236,12 +269,13 @@ def precompute_image_dir(img_dir, out_dir: str, frozen_fn, img_size: int,
         feats = _batched(frozen_fn, flat, batch)
         for i, k in enumerate(keys):
             sl = slice(i * k_var, (i + 1) * k_var)
-            if k_var == 1:
-                arrays = dict(moments=feats["moments"][i],
-                              cls=feats["cls"][i])
-            else:
-                arrays = dict(moments=feats["moments"][sl],
-                              cls=feats["cls"][sl])
+            take = (lambda a: a[sl.start]) if k_var == 1 else (lambda a: a[sl])
+            arrays = {name: take(arr) for name, arr in feats.items()}
+            if mode == "latents":
+                # the exact crops the moments came from — the tower trains
+                # live on these (f16: ~5e-4 round-trip, below bf16 input
+                # quantization)
+                arrays["pixels"] = take(flat.astype(np.float16))
             # feat.npz + txt land in the same shard (one atomic group)
             writer.add_group([
                 (f"{k}.feat.npz", _npz_bytes(**arrays)),

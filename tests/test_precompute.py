@@ -185,6 +185,131 @@ class TestImagePrecompute:
             factory.build_task(cfg)
 
 
+class TestLatentCache:
+    """Stage-2 latent cache (``--mode latents``): moments + crop pixels, no
+    tower features — the VAE is frozen in EVERY stage, so stage-2 (which
+    trains the tower) can still skip the encoder."""
+
+    def _cache(self, tmp_path, models, **kw):
+        _, _, vae_params, vae_cfg = models
+        src = tmp_path / "img"
+        make_image_shard(str(src / "i-000000.tar"), num_samples=6, img_size=IMG)
+        fn = pre.make_frozen_latent_fn(vae_params, vae_cfg,
+                                       vae_dtype=jnp.float32)
+        out = tmp_path / "pre"
+        n = pre.precompute_image_dir(str(src), str(out), fn, IMG, batch=4,
+                                     mode="latents", **kw)
+        assert n == 6
+        return src, out
+
+    def test_variant_stacks_store_pixels_no_cls(self, tmp_path, models):
+        import tarfile
+        _, out = self._cache(tmp_path, models, augment="train", variants=2,
+                             seed=3)
+        shard = next(p for p in sorted(os.listdir(out)) if p.endswith(".tar"))
+        with tarfile.open(os.path.join(str(out), shard)) as tf:
+            m = next(m for m in tf.getmembers()
+                     if m.name.endswith(".feat.npz"))
+            feats = pre.load_feat(tf.extractfile(m).read())
+        assert "cls" not in feats
+        assert feats["pixels"].shape == (2, IMG, IMG, 3)
+        assert feats["pixels"].dtype == np.float16
+        assert feats["moments"].shape[0] == 2 and feats["moments"].ndim == 4
+
+    def test_stage2_loss_matches_inline(self, tmp_path, models):
+        """Same crop -> same tower input (f16 round-trip) + same cached
+        moments -> the stage-2 loss matches the inline step under one key."""
+        tower_params, tower_cfg, vae_params, vae_cfg = models
+        src, out = self._cache(tmp_path, models)     # augment=center: the
+        from genhancer_tpu.data import cc3m as cc3m_data   # crop is exact
+        pre_batches = list(cc3m_data.loader(
+            img_dir=str(out), precomputed="latents", train_batch_size=3,
+            num_workers=1, img_size=IMG, shuffle_buffer=0, repeat=False))
+        assert pre_batches
+        pb = pre_batches[0]
+        assert "image" in pb and "moments" in pb and "cls" not in pb
+
+        eval_batches = list(cc3m_data.loader(
+            img_dir=str(src), train=False, train_batch_size=3, num_workers=1,
+            img_size=IMG, shuffle_buffer=0, repeat=False))
+        spec = image_task.TaskSpec(
+            stage="stage2_only", tower_kind="clip", img_size=IMG,
+            clip_image_size=IMG, dit_cfg=TINY_DIT, vae_cfg=vae_cfg,
+            tower_cfg=tower_cfg, clip_dim=24, t5_dim=32, lora_r=2,
+            lora_alpha=2.0, compute_dtype=jnp.float32,
+            dit_param_dtype=jnp.float32, vae_dtype=jnp.float32)
+        opt = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        state = image_task.create_task_state(jax.random.key(0), spec, opt,
+                                             tower_params=tower_params,
+                                             vae_params=vae_params)
+        loss_fn = image_task.make_loss_fn(spec)
+        key = jax.random.key(4)
+        l_inline = float(loss_fn(state.trainable, state.frozen,
+                                 {"image": jnp.asarray(eval_batches[0]["image"])},
+                                 key))
+        l_pre = float(loss_fn(state.trainable, state.frozen,
+                              {"image": jnp.asarray(pb["image"]),
+                               "moments": jnp.asarray(pb["moments"])}, key))
+        assert l_pre == pytest.approx(l_inline, rel=2e-3), (l_pre, l_inline)
+
+    def test_loader_mode_mismatch_fails_loudly(self, tmp_path, models):
+        from genhancer_tpu.data import cc3m as cc3m_data
+        tower_params, tower_cfg, vae_params, vae_cfg = models
+        # features cache read as latents -> loud error
+        src = tmp_path / "img"
+        make_image_shard(str(src / "i-000000.tar"), num_samples=4, img_size=IMG)
+        fn = pre.make_frozen_fn("clip", tower_params, tower_cfg, vae_params,
+                                vae_cfg, vae_dtype=jnp.float32,
+                                compute_dtype=jnp.float32, with_patches=False)
+        feat_dir = tmp_path / "pre_feat"
+        pre.precompute_image_dir(str(src), str(feat_dir), fn, IMG, batch=4)
+        it = iter(cc3m_data.loader(img_dir=str(feat_dir),
+                                   precomputed="latents", train_batch_size=2,
+                                   num_workers=1, img_size=IMG,
+                                   shuffle_buffer=0, repeat=False))
+        with pytest.raises(RuntimeError, match="no pixels"):
+            next(it)
+        # latents cache read as a features cache -> loud error
+        lat_fn = pre.make_frozen_latent_fn(vae_params, vae_cfg,
+                                           vae_dtype=jnp.float32)
+        lat_dir = tmp_path / "pre_lat"
+        pre.precompute_image_dir(str(src), str(lat_dir), lat_fn, IMG, batch=4,
+                                 mode="latents")
+        it = iter(cc3m_data.loader(img_dir=str(lat_dir), precomputed=True,
+                                   train_batch_size=2, num_workers=1,
+                                   img_size=IMG, shuffle_buffer=0,
+                                   repeat=False))
+        with pytest.raises(RuntimeError, match="latents cache"):
+            next(it)
+
+    def test_factory_gating(self, tmp_path, monkeypatch):
+        from genhancer_tpu import registry
+        from genhancer_tpu.data.cc3m import CC3MLoader
+        from genhancer_tpu.tasks import factory
+        tower_cfg = tiny_tower_cfg()
+        monkeypatch.setattr(registry, "build_dit_config", lambda name: TINY_DIT)
+        monkeypatch.setattr(registry, "build_vae",
+                            lambda name, ae_path=None, key=None:
+                            (vae_m.init_vae(jax.random.key(0), TINY_VAE), TINY_VAE))
+        monkeypatch.setattr(registry, "tower_family_and_config",
+                            lambda tower, size, clip_type=None: ("clip", tower_cfg))
+        monkeypatch.setattr(registry, "load_tower",
+                            lambda kind, cfg, model_dir=None, key=None:
+                            (clip_m.init_clip(jax.random.key(0), cfg), cfg))
+        make_image_shard(str(tmp_path / "i-000000.tar"), num_samples=2,
+                         img_size=IMG)   # loader needs shards to exist
+        cfg = Config(dict(TRAIN_DEFAULTS))
+        cfg["task"] = "image_stage2_all"
+        cfg["tower"] = "openai_clip"
+        cfg["data_config"] = Config({"img_dir": str(tmp_path),
+                                     "precomputed": "latents",
+                                     "train_batch_size": 2})
+        spec, _, loader, _, _, _ = factory.build_task(cfg)
+        assert isinstance(loader, CC3MLoader)
+        assert loader.precomputed == "latents"
+        assert spec.stage == "stage2_all"
+
+
 @pytest.mark.slow
 class TestWriterGrouping:
     def test_videos_never_split_across_shards(self, tmp_path, models):
