@@ -108,6 +108,15 @@ class Trainer:
         self.output_dir = cfg.get("output_dir", "output")
         os.makedirs(self.output_dir, exist_ok=True)
         mesh_m.maybe_initialize_distributed()
+        # Persistent XLA compilation cache: restarts/resumes skip the slow
+        # first-step compile (minutes for the big stage-2/video programs on
+        # a remote-compile backend).  Off unless configured — the cache is
+        # keyed on program+flags+compiler version, safe to share per model.
+        cache_dir = cfg.get("compilation_cache_dir")
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            log.info("persistent compilation cache at %s", cache_dir)
         n = int(cfg.get("num_devices") or len(jax.devices()))
         self.tp = int(cfg.get("model_parallel", 1) or 1)
         self.sp = int(cfg.get("sequence_parallel", 1) or 1)

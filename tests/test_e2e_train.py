@@ -109,6 +109,22 @@ class TestE2E:
         metrics = main(["--config", cfgp2])
         assert metrics["step"] == 4
 
+    def test_compilation_cache_populates(self, tmp_path, shards, tiny_models):
+        """compilation_cache_dir: the persistent XLA cache fills on the first
+        run (restart/resume then skips the slow first-step compile)."""
+        import jax
+        from genhancer_tpu.cli.train import main
+        cache = tmp_path / "xla_cache"
+        cfgp = write_cfg(tmp_path, img_dir=shards, max_train_steps=2,
+                         checkpointing_steps=100,
+                         compilation_cache_dir=str(cache))
+        try:
+            main(["--config", cfgp])
+            assert cache.exists() and any(cache.iterdir()), list(cache.iterdir())
+        finally:
+            # don't leak the cache config into later tests in this process
+            jax.config.update("jax_compilation_cache_dir", None)
+
     def test_grad_accumulation(self, tmp_path, shards, tiny_models):
         from genhancer_tpu.cli.train import main
         cfgp = write_cfg(tmp_path, img_dir=shards, max_train_steps=2,
