@@ -52,7 +52,9 @@ def main(argv=None):
     log.info("warming up %s x buckets %s", endpoints, buckets)
     engine.warmup(endpoints)
 
-    app = ServeApp(engine, max_wait_ms=args.max_wait_ms)
+    # only the warmed endpoints are served — an un-warmed endpoint would
+    # compile online inside its first request (http.ServeApp 404s the rest)
+    app = ServeApp(engine, max_wait_ms=args.max_wait_ms, endpoints=endpoints)
     server = app.make_server(args.host, args.port)
     log.info("serving on %s:%d", *server.server_address[:2])
     try:

@@ -54,8 +54,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from . import mesh as mesh_m
-
-SEQ_AXIS = "seq"
+from .mesh import SEQ_AXIS
 
 # Trace-time scope consulted by core.attention.attention() — entered inside
 # the task loss_fn around the DiT forward (the int8_training_ctx pattern,
@@ -95,30 +94,43 @@ def _scores(q, k_c, scale):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ring_shard(axis_name, q, k, v):
-    """Per-shard body (runs inside shard_map): q/k/v [B, L/n, H, D]."""
-    o, _ = _ring_fwd_impl(axis_name, q, k, v)
+def _ring_shard(axis_name, q, k, v, kvm):
+    """Per-shard body (runs inside shard_map): q/k/v [B, L/n, H, D];
+    ``kvm`` [Lkv/n] f32 key-validity (1 = real, 0 = pad) — all-ones when L
+    divides the axis; pad columns are masked to -inf before the softmax so
+    the math on real rows is exactly the unpadded ring."""
+    o, _ = _ring_fwd_impl(axis_name, q, k, v, kvm)
     return o
 
 
-def _ring_fwd_impl(axis_name, q, k, v):
+def _mask_scores(s, kvm_c):
+    """[B, H, Lq, Lkv] scores with pad-key columns at -inf."""
+    return jnp.where(kvm_c[None, None, None, :] > 0, s, -jnp.inf)
+
+
+def _ring_fwd_impl(axis_name, q, k, v, kvm):
     n = jax.lax.axis_size(axis_name)
     b, lq, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
 
     def step(i, carry):
-        k_c, v_c, o, m, den = carry
-        s = _scores(q, k_c, scale)                       # [B, H, Lq, Lkv] f32
+        k_c, v_c, kvm_c, o, m, den = carry
+        s = _mask_scores(_scores(q, k_c, scale), kvm_c)  # [B, H, Lq, Lkv] f32
         m_c = jnp.max(s, axis=-1, keepdims=True)         # [B, H, Lq, 1]
         m_new = jnp.maximum(m, m_c)
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        # m_new == -inf only while every key seen so far is a pad column
+        # (a fully-padded chunk before any real one): exp(-inf - -inf) is
+        # nan, so gate it — the o/den carries are still zero there and any
+        # finite alpha/zero p keeps them zero
+        safe = ~jnp.isneginf(m_new)
+        alpha = jnp.where(safe, jnp.exp(m - m_new), 1.0)
+        p = jnp.where(safe, jnp.exp(s - m_new), 0.0)
         den = den * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jnp.einsum("bhlm,bmhd->bhld", p.astype(v_c.dtype), v_c,
                         preferred_element_type=jnp.float32)
         o = o * alpha + pv
         return (_rotate(k_c, axis_name, n), _rotate(v_c, axis_name, n),
-                o, m_new, den)
+                _rotate(kvm_c, axis_name, n), o, m_new, den)
 
     # fresh zeros are device-invariant under shard_map's varying-axis typing;
     # mark them varying over every axis the operands vary over (seq, and
@@ -129,19 +141,20 @@ def _ring_fwd_impl(axis_name, q, k, v):
     den0 = vary(jnp.zeros((b, h, lq, 1), jnp.float32))
     # n steps: the final rotation returns K/V to their home devices (a spare
     # hop, but it keeps the carry uniform and matches the backward's schedule)
-    _, _, o, m, den = jax.lax.fori_loop(0, n, step, (k, v, o0, m0, den0))
+    _, _, _, o, m, den = jax.lax.fori_loop(0, n, step,
+                                           (k, v, kvm, o0, m0, den0))
     o = (o / den).transpose(0, 2, 1, 3).astype(q.dtype)  # [B, Lq, H, D]
     lse = m + jnp.log(den)                               # [B, H, Lq, 1] f32
     return o, lse
 
 
-def _ring_vjp_fwd(axis_name, q, k, v):
-    o, lse = _ring_fwd_impl(axis_name, q, k, v)
-    return o, (q, k, v, o, lse)
+def _ring_vjp_fwd(axis_name, q, k, v, kvm):
+    o, lse = _ring_fwd_impl(axis_name, q, k, v, kvm)
+    return o, (q, k, v, kvm, o, lse)
 
 
 def _ring_vjp_bwd(axis_name, res, do):
-    q, k, v, o, lse = res
+    q, k, v, kvm, o, lse = res
     n = jax.lax.axis_size(axis_name)
     d = q.shape[-1]
     scale = 1.0 / (d ** 0.5)
@@ -151,8 +164,10 @@ def _ring_vjp_bwd(axis_name, res, do):
                      )[..., None]
 
     def step(i, carry):
-        k_c, v_c, dk_c, dv_c, dq = carry
-        s = _scores(q, k_c, scale)                       # [B, H, Lq, Lkv] f32
+        k_c, v_c, kvm_c, dk_c, dv_c, dq = carry
+        s = _mask_scores(_scores(q, k_c, scale), kvm_c)  # [B, H, Lq, Lkv] f32
+        # every q row attends >= 1 real key (the pad is key-side only), so
+        # lse is finite and exp(-inf - lse) cleanly zeroes pad columns
         p = jnp.exp(s - lse)
         dp = jnp.einsum("blhd,bmhd->bhlm", do, v_c,
                         preferred_element_type=jnp.float32)
@@ -168,15 +183,17 @@ def _ring_vjp_bwd(axis_name, res, do):
         # dk/dv accumulators travel with their chunk: after n rotations each
         # is back home having collected every q shard's contribution
         return (_rotate(k_c, axis_name, n), _rotate(v_c, axis_name, n),
+                _rotate(kvm_c, axis_name, n),
                 _rotate(dk_c, axis_name, n), _rotate(dv_c, axis_name, n), dq)
 
     b, lq, h, _ = q.shape
     vary = lambda x: jax.lax.pcast(x, tuple(jax.typeof(q).vma), to="varying")
     zkv = vary(jnp.zeros((b, h, lq, d), jnp.float32))
-    _, _, dk, dv, dq = jax.lax.fori_loop(
-        0, n, step, (k, v, zkv, zkv, zkv))
+    _, _, _, dk, dv, dq = jax.lax.fori_loop(
+        0, n, step, (k, v, kvm, zkv, zkv, zkv))
     tr = lambda x, like: x.transpose(0, 2, 1, 3).astype(like.dtype)
-    return tr(dq, q), tr(dk, k), tr(dv, v)
+    # kvm is a validity constant, not a differentiable input
+    return (tr(dq, q), tr(dk, k), tr(dv, v), jnp.zeros_like(kvm))
 
 
 _ring_shard.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
@@ -193,15 +210,25 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis_name: str = SEQ_AXIS,
     """
     n = mesh.shape[axis_name]
     l = q.shape[1]
-    if l % n:
-        raise ValueError(
-            f"ring_attention: L={l} not divisible by mesh axis "
-            f"'{axis_name}' of size {n} — pad the token streams first")
     if batch_axis is not None and q.shape[0] % mesh.shape[batch_axis]:
         raise ValueError(
             f"ring_attention: B={q.shape[0]} not divisible by mesh axis "
             f"'{batch_axis}' of size {mesh.shape[batch_axis]}")
+    # L need not divide the axis: pad the token dim and mask the pad KEYS to
+    # -inf inside the ring (image-task joint sequences are odd — 1 class +
+    # 196 img tokens at 224px — so requiring divisibility would make SP
+    # unusable there).  Pad q rows compute garbage that the final slice
+    # drops; the slice/pad VJPs route gradients correctly.
+    pad = (-l) % n
+    if pad:
+        widths = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q = jnp.pad(q, widths)
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
+    kvm = (jnp.arange(l + pad) < l).astype(jnp.float32)  # key validity
     spec = P(batch_axis, axis_name, None, None)
     f = jax.shard_map(functools.partial(_ring_shard, axis_name),
-                      mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
-    return f(q, k, v)
+                      mesh=mesh, in_specs=(spec, spec, spec, P(axis_name)),
+                      out_specs=spec)
+    out = f(q, k, v, kvm)
+    return out[:, :l] if pad else out

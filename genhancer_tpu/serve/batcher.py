@@ -23,6 +23,14 @@ from typing import Callable, List, Optional, Sequence
 import numpy as np
 
 
+class Overloaded(RuntimeError):
+    """Queue full — the HTTP layer maps this to 503 so clients back off."""
+
+
+class ServerClosing(RuntimeError):
+    """Shutdown in progress — queued/new requests are failed fast."""
+
+
 class _Request:
     __slots__ = ("payload", "future", "t_enqueue")
 
@@ -92,16 +100,29 @@ class MicroBatcher:
 
     def submit(self, payload: np.ndarray) -> Future:
         req = _Request(payload)
+        if self._stop.is_set():
+            req.future.set_exception(
+                ServerClosing("server shutting down"))
+            return req.future
         try:
             self._q.put_nowait(req)
         except queue.Full:
             req.future.set_exception(
-                RuntimeError("server overloaded: request queue full"))
+                Overloaded("server overloaded: request queue full"))
         return req.future
 
     def close(self):
+        """Stop the worker and FAIL every still-queued request — a future
+        that is never resolved would park its HTTP thread for the full
+        client timeout during shutdown."""
         self._stop.set()
         self._worker.join(timeout=5.0)
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.future.set_exception(ServerClosing("server shutting down"))
 
     # ------------------------------------------------------------- worker
 
@@ -125,20 +146,24 @@ class MicroBatcher:
         return group
 
     def _loop(self):
+        # EVERYTHING a group touches runs inside the try: an exception that
+        # escaped this loop would kill the only worker thread and leave the
+        # group's (and all later) futures unresolved — a silent hang behind a
+        # healthy-looking /healthz.
         while not self._stop.is_set():
             group = self._collect()
             if not group:
                 continue
-            batch = np.stack([r.payload for r in group])
             try:
+                batch = np.stack([r.payload for r in group])
                 out = self._process(batch)
+                t_done = time.perf_counter()
+                self.stats.record(len(group),
+                                  [t_done - r.t_enqueue for r in group])
+                for i, r in enumerate(group):
+                    r.future.set_result(out[i])
             except Exception as e:  # propagate to every waiter
                 self.stats.record_error(len(group))
                 for r in group:
-                    r.future.set_exception(e)
-                continue
-            t_done = time.perf_counter()
-            self.stats.record(len(group),
-                              [t_done - r.t_enqueue for r in group])
-            for i, r in enumerate(group):
-                r.future.set_result(out[i])
+                    if not r.future.done():
+                        r.future.set_exception(e)

@@ -65,6 +65,12 @@ class InferenceEngine:
         self.max_batch = self.buckets[-1]
         self._params = jax.device_put(params)
         self._lock = threading.Lock()
+        # unseeded noise must differ across restarts and replicas — a
+        # counter from 0 would replay the identical "random" sequence on
+        # every instance behind a load balancer
+        import os
+        self._base_key = jax.random.key(
+            int.from_bytes(os.urandom(8), "little") >> 1)
         self._key_counter = 0
 
         lat_h, lat_w = spec.latent_hw
@@ -114,7 +120,7 @@ class InferenceEngine:
 
     def _next_key(self) -> jax.Array:
         self._key_counter += 1
-        return jax.random.key(self._key_counter)
+        return jax.random.fold_in(self._base_key, self._key_counter)
 
     def reconstruct(self, images01: np.ndarray,
                     seed: Optional[int] = None) -> np.ndarray:
@@ -164,9 +170,8 @@ class InferenceEngine:
         still take pretrained weights when the config points at them)."""
         from ..tasks import factory
         from ..tasks.image import init_modules, trainable_predicate
-        from ..train import optim
         from ..train.checkpoint import load_stage1_components
-        from ..train.config import Config, TRAIN_DEFAULTS, load_config
+        from ..train.config import load_config
         from ..train.state import create_state
 
         if isinstance(cfg, str):
@@ -175,9 +180,12 @@ class InferenceEngine:
         spec, (tower_params, vae_params), *_ = factory.build_task(cfg)
         modules = init_modules(jax.random.key(int(cfg.get("seed", 0))), spec,
                                tower_params, vae_params)
-        optimizer = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+        # inference never steps an optimizer — optax.identity keeps
+        # create_state's checkpoint-compatible layout without materializing
+        # Adam moment trees the size of the trainable DiT
+        import optax
         state = create_state(modules, trainable_predicate(spec, modules),
-                             optimizer)
+                             optax.identity())
         if load_dir is not None:
             if load_step is None:
                 raise ValueError("load_step required with load_dir")

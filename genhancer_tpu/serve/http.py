@@ -23,12 +23,13 @@ import io
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
 
-from .batcher import MicroBatcher, Stats
+from .batcher import MicroBatcher, Overloaded, ServerClosing, Stats
 from .engine import InferenceEngine
 
 logger = logging.getLogger(__name__)
@@ -51,6 +52,17 @@ def _decode_request(handler: BaseHTTPRequestHandler, img_size: int) -> np.ndarra
     return eval_image_transform(body, img_size)   # [H, W, 3] float32 [0,1]
 
 
+def _parse_seed(query: str) -> Optional[int]:
+    """'seed=N' from the query string; None when absent; ValueError on junk
+    (surfaces as a 500 with the message — a typo'd seed should not silently
+    become a random draw)."""
+    for part in query.split("&"):
+        k, _, v = part.partition("=")
+        if k == "seed":
+            return int(v)
+    return None
+
+
 def _encode_jpeg(img01: np.ndarray) -> bytes:
     from PIL import Image
     buf = io.BytesIO()
@@ -63,19 +75,21 @@ class ServeApp:
     """Engine + per-endpoint batchers + the HTTP server object."""
 
     def __init__(self, engine: InferenceEngine, *, max_wait_ms: float = 5.0,
-                 max_queue: int = 256):
+                 max_queue: int = 256,
+                 endpoints=("reconstruct", "embed")):
+        """``endpoints``: which endpoints this server exposes — must match
+        what ``engine.warmup`` compiled, or the first request to an un-warmed
+        endpoint would compile online (the exact case the engine design
+        forbids).  Un-listed endpoints answer 404."""
         self.engine = engine
-        self.stats = {"reconstruct": Stats(), "embed": Stats()}
+        self.endpoints = tuple(endpoints)
+        fns = {"reconstruct": engine.reconstruct, "embed": engine.embed}
+        self.stats = {ep: Stats() for ep in self.endpoints}
         self.batchers = {
-            "reconstruct": MicroBatcher(
-                engine.reconstruct, engine.max_batch, max_wait_ms=max_wait_ms,
-                max_queue=max_queue, stats=self.stats["reconstruct"],
-                name="batch-reconstruct"),
-            "embed": MicroBatcher(
-                engine.embed, engine.max_batch, max_wait_ms=max_wait_ms,
-                max_queue=max_queue, stats=self.stats["embed"],
-                name="batch-embed"),
-        }
+            ep: MicroBatcher(fns[ep], engine.max_batch,
+                             max_wait_ms=max_wait_ms, max_queue=max_queue,
+                             stats=self.stats[ep], name=f"batch-{ep}")
+            for ep in self.endpoints}
         self._server: Optional[ThreadingHTTPServer] = None
 
     # ------------------------------------------------------------- server
@@ -109,6 +123,7 @@ class ServeApp:
                         "tower": e.spec.tower_kind,
                         "num_steps": e.num_steps,
                         "buckets": list(e.buckets),
+                        "endpoints": list(app.endpoints),
                     })
                 elif self.path == "/v1/stats":
                     self._send_json(200, {k: s.snapshot()
@@ -120,17 +135,35 @@ class ServeApp:
                 path, _, query = self.path.partition("?")
                 endpoint = {"/v1/reconstruct": "reconstruct",
                             "/v1/embed": "embed"}.get(path)
-                if endpoint is None:
+                if endpoint is None or endpoint not in app.batchers:
                     self._send_json(404, {"error": "not found"})
                     return
                 try:
+                    seed = _parse_seed(query)
                     img = _decode_request(self, app.engine.spec.img_size)
                 except Exception as e:
+                    # the body may be partly/fully unread (size guard,
+                    # malformed JSON) — a keep-alive connection would parse
+                    # the leftover bytes as the next request line, so close
+                    self.close_connection = True
                     self._send_json(400, {"error": str(e)})
                     return
                 try:
-                    fut = app.batchers[endpoint].submit(img)
-                    out = fut.result(timeout=600.0)
+                    t0 = time.perf_counter()
+                    if endpoint == "reconstruct" and seed is not None:
+                        # seeded = deterministic: runs unbatched (one request
+                        # per device call) so the noise is a pure function of
+                        # the seed, never of batch composition
+                        out = app.engine.reconstruct(img[None], seed=seed)[0]
+                        app.stats[endpoint].record(
+                            1, [time.perf_counter() - t0])
+                    else:
+                        fut = app.batchers[endpoint].submit(img)
+                        out = fut.result(timeout=600.0)
+                except (Overloaded, ServerClosing) as e:
+                    # tell clients to back off, not that the server is broken
+                    self._send_json(503, {"error": str(e)})
+                    return
                 except Exception as e:
                     logger.exception("inference failed")
                     self._send_json(500, {"error": str(e)})

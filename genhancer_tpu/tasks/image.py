@@ -81,8 +81,8 @@ class TaskSpec:
     # Ring-attention sequence parallelism (parallel/ring.py): >1 shards the
     # DiT's token axis over a ``seq`` mesh axis — attention runs as a
     # ppermute ring, per-token ops shard via GSPMD propagation.  Requires a
-    # mesh built with make_mesh(sequence_parallel=N); the joint token count
-    # (txt + img) must divide N.
+    # mesh built with make_mesh(sequence_parallel=N); indivisible joint
+    # token counts are padded inside the ring (pad keys masked to -inf).
     sequence_parallel: int = 1
 
     @property

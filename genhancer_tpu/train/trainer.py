@@ -346,8 +346,41 @@ class Trainer:
         trace_dir = os.path.join(self.output_dir, "profile") if self.profile else None
         batches = self._array_batches()
 
+        # Preemption safety: TPU pods get SIGTERM ahead of reclaim.  The
+        # handler only sets a flag; the loop breaks at the next step boundary
+        # and the end-of-loop collective checkpoint saves resumable state
+        # (multi-host preemption delivers the signal to every worker, so the
+        # collective gather is safe).  Handler restored on exit — the trainer
+        # may be embedded (tests, notebooks).
+        import signal
+        self._preempted = False
+
+        def _on_term(signum, frame):
+            self._preempted = True
+            log.warning("SIGTERM — will checkpoint at the next step boundary")
+
+        try:
+            prev_term = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:          # not the main thread: no handler, no harm
+            prev_term = None
+
+        try:
+            metrics_out = self._train_loop(step, batches, trace_dir,
+                                           last_data_t)
+        finally:
+            if prev_term is not None:
+                signal.signal(signal.SIGTERM, prev_term)
+        return metrics_out
+
+    def _train_loop(self, step, batches, trace_dir, last_data_t) -> dict:
+        metrics_out = {}
         for batch in batches:
             if step >= self.max_steps:
+                break
+            if self._preempted:
+                log.warning("preempted — stopping at step %d (checkpoint "
+                            "follows; relaunch with "
+                            "resume_from_checkpoint: latest)", step)
                 break
             data_load_time = time.time() - last_data_t
             if data_load_time > DATA_LOAD_TIMEOUT:

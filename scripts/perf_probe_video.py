@@ -32,7 +32,15 @@ def main():
                     help="feed cached conditioning (data.precompute batch "
                          "layout: moments + cond_patches/cond_vecs) — the "
                          "frozen VAE/tower are skipped in the step")
+    ap.add_argument("--stage", type=str, default="stage1",
+                    choices=["stage1", "stage2_all"],
+                    help="stage2_all: tower inside autodiff with LoRA "
+                         "(QLoRA int8 base when --quant != none); reference "
+                         "video stage-2 schedule is batch 4 @336px")
     args = ap.parse_args()
+    if args.stage == "stage2_all" and args.precomputed:
+        ap.error("--precomputed caches tower features — stage-1 only "
+                 "(stage-2 trains the tower)")
 
     from genhancer_tpu.models import dit as dit_m, vae as vae_m
     from genhancer_tpu.models.towers import clip as clip_m
@@ -42,7 +50,7 @@ def main():
 
     q = args.quant
     spec = video_task.VideoTaskSpec(
-        mode=args.mode, stage="stage1", tower_kind="clip",
+        mode=args.mode, stage=args.stage, tower_kind="clip",
         img_size=args.img, clip_image_size=336,
         dit_cfg=dit_m.DIT_CONFIGS["flux-dev"],
         vae_cfg=vae_m.VAE_CONFIGS["flux-dev"],
@@ -97,7 +105,8 @@ def main():
     float(m["loss"])
     ms = (time.perf_counter() - t0) / args.iters * 1000.0
     print(json.dumps({
-        "mode": args.mode, "batch": args.batch, "img": args.img,
+        "mode": args.mode, "stage": args.stage, "batch": args.batch,
+        "img": args.img,
         "quant": q, "remat_policy": args.remat_policy,
         "precomputed": bool(args.precomputed),
         "step_ms": round(ms, 2),

@@ -158,6 +158,51 @@ class TestE2E:
                             pixel_values=px).logits_per_text
         assert logits.shape == (1, 1) and torch.isfinite(logits).all()
 
+    def test_sigterm_preemption_checkpoints_and_resumes(self, tmp_path, shards,
+                                                        tiny_models):
+        """Preemption safety: SIGTERM mid-run stops at the next step boundary,
+        writes a resumable checkpoint, and a relaunch with
+        resume_from_checkpoint: latest continues from it."""
+        import logging
+        import signal
+
+        from genhancer_tpu.cli.train import main
+
+        class FireOnFirstStep(logging.Handler):
+            fired = False
+
+            def emit(self, record):
+                if (not self.fired and isinstance(record.msg, str)
+                        and record.msg.startswith("step %d: loss")):
+                    self.fired = True
+                    # delivered to THIS (main) thread's handler immediately
+                    signal.raise_signal(signal.SIGTERM)
+
+        h = FireOnFirstStep()
+        tlog = logging.getLogger("genhancer_tpu.trainer")
+        prev_level = tlog.level
+        tlog.addHandler(h)
+        tlog.setLevel(logging.INFO)   # pytest leaves root at WARNING, which
+        try:                          # would filter the step records out
+            cfgp = write_cfg(tmp_path, img_dir=shards, max_train_steps=50,
+                             checkpointing_steps=1000, log_interval=1)
+            m = main(["--config", cfgp])
+        finally:
+            tlog.removeHandler(h)
+            tlog.setLevel(prev_level)
+        assert h.fired, "step log never reached the test handler"
+        stopped = m["step"]
+        assert 0 < stopped < 50, m          # preempted, not run to completion
+        out = str(tmp_path / "out")
+        assert f"checkpoint-dit-{stopped}.bin" in os.listdir(out)
+
+        cfgp2 = write_cfg(tmp_path, img_dir=shards,
+                          max_train_steps=stopped + 2,
+                          checkpointing_steps=1000,
+                          resume_from_checkpoint="latest")
+        m2 = main(["--config", cfgp2])
+        assert m2["step"] == stopped + 2
+
     def test_video_trainer_compat_name(self, tmp_path, tiny_models):
         from genhancer_tpu.cli.train import main
         vshards = [fixtures.make_video_shard(str(tmp_path / "v0.tar"), 3, 6, 48)]
