@@ -32,6 +32,10 @@ def main(argv=None):
                         help="micro-batch collection window")
     parser.add_argument("--endpoints", default="reconstruct,embed",
                         help="which endpoints to warm up/serve")
+    parser.add_argument("--quant", default="none", choices=("none", "int8"),
+                        help="int8: statically quantize all serving params "
+                             "(DiT+tower linears, VAE convs) — 2x MXU peak "
+                             "on v5e, per-channel weight scales")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -48,7 +52,8 @@ def main(argv=None):
              args.load_dir)
     engine = InferenceEngine.from_config(
         args.config, load_dir=args.load_dir, load_step=args.load_step,
-        num_steps=args.num_steps, guidance=args.guidance, buckets=buckets)
+        num_steps=args.num_steps, guidance=args.guidance, buckets=buckets,
+        quant=args.quant)
     log.info("warming up %s x buckets %s", endpoints, buckets)
     engine.warmup(endpoints)
 

@@ -55,10 +55,26 @@ class InferenceEngine:
 
     def __init__(self, spec, params, *, num_steps: int = 20,
                  guidance: float = 4.0, shift_schedule: bool = True,
-                 buckets: Sequence[int] = (1, 4, 8)):
+                 buckets: Sequence[int] = (1, 4, 8), quant: str = "none"):
+        """``quant="int8"``: statically quantize every serving param tree
+        (DiT + tower linears, VAE convs — core.quant) at load; v5e runs the
+        int8 MXU at 2x bf16 peak and inference has no dW to protect, so the
+        whole model is eligible (unlike training, where SwitchBack keeps
+        the weight gradient in bf16)."""
         self.spec = spec
         self.num_steps = int(num_steps)
         self.guidance = float(guidance)
+        if quant == "int8":
+            from ..core import quant as quant_m
+            params = dict(params,
+                          dit=quant_m.quantize_linear_tree(params["dit"]),
+                          vae=quant_m.quantize_conv_tree(params["vae"]),
+                          clip=dict(params["clip"],
+                                    model=quant_m.quantize_linear_tree(
+                                        params["clip"]["model"])))
+        elif quant != "none":
+            raise ValueError(f"quant must be none|int8, got {quant!r}")
+        self.quant = quant
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         if not self.buckets:
             raise ValueError("at least one batch bucket required")

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--load_requests", type=int, default=32,
                     help="concurrent requests for the batched-serving probe")
+    ap.add_argument("--quant", default="none", choices=("none", "int8"))
     args = ap.parse_args()
 
     import jax
@@ -47,10 +48,11 @@ def main():
     params = {"dit": modules["dit"], "vae": modules["vae"],
               "clip": modules["clip"]}
     engine = InferenceEngine(spec, params, num_steps=args.steps,
-                             buckets=buckets)
+                             buckets=buckets, quant=args.quant)
 
     rng = np.random.default_rng(0)
-    out = {"img": args.img, "num_steps": args.steps, "buckets": {}}
+    out = {"img": args.img, "num_steps": args.steps, "quant": args.quant,
+           "buckets": {}}
 
     for b in buckets:
         img = rng.random((b, args.img, args.img, 3), dtype=np.float32)

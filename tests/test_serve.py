@@ -39,7 +39,7 @@ TINY_TOWER = clip_m.CLIPConfig(
     projection_dim=24)
 
 
-def make_engine(buckets=(1, 4), num_steps=2):
+def make_engine(buckets=(1, 4), num_steps=2, quant="none"):
     import jax
     spec = image_task.TaskSpec(
         stage="stage1", tower_kind="clip", img_size=32, clip_image_size=32,
@@ -49,7 +49,7 @@ def make_engine(buckets=(1, 4), num_steps=2):
     params = {"dit": modules["dit"], "vae": modules["vae"],
               "clip": modules["clip"]}
     return InferenceEngine(spec, params, num_steps=num_steps,
-                           buckets=buckets)
+                           buckets=buckets, quant=quant)
 
 
 @pytest.fixture(scope="module")
@@ -90,6 +90,23 @@ class TestEngine:
         a = engine.reconstruct(img)
         b = engine.reconstruct(img)
         assert np.abs(a - b).max() > 1e-6   # fresh noise per request
+
+    def test_int8_engine_tracks_exact(self, engine, rng):
+        """quant='int8' statically quantizes all serving trees; outputs must
+        track the exact engine at the per-channel-int8 drift level."""
+        # identical buckets: the padded noise draw must match the exact
+        # engine's for a same-seed comparison
+        q_engine = make_engine(quant="int8")
+        img = rng.random((2, 32, 32, 3), dtype=np.float32)
+        emb_q = q_engine.embed(img)
+        emb = engine.embed(img)
+        scale = np.abs(emb).max()
+        np.testing.assert_allclose(emb_q, emb, atol=0.05 * scale)
+        rec_q = q_engine.reconstruct(img, seed=3)
+        rec = engine.reconstruct(img, seed=3)
+        assert np.isfinite(rec_q).all()
+        # 2 sampler steps compound the drift; just require close agreement
+        assert np.abs(rec_q - rec).mean() < 0.05, np.abs(rec_q - rec).mean()
 
 
 class TestMicroBatcher:
