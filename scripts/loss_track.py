@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--pool", type=int, default=8,
                     help="distinct synthetic batches cycled")
     ap.add_argument("--modes", type=str, default="none,int8,int8_full")
+    ap.add_argument("--stage", type=str, default="stage1",
+                    choices=["stage1", "stage2_only"],
+                    help="stage2_only: LoRA-over-frozen-base trajectories — "
+                         "mode 'int8' = the QLoRA config (static int8 tower "
+                         "base + frozen int8 DiT); convergence evidence that "
+                         "the ~0.2% base-quant error does not disturb LoRA "
+                         "training at CLIP-L scale")
     args = ap.parse_args()
 
     from genhancer_tpu.models import dit as dit_m, vae as vae_m
@@ -47,26 +54,48 @@ def main():
     f = 2 ** (len(vae_cfg.ch_mult) - 1)
     h = w = args.img // f
     zc = 2 * vae_cfg.z_channels
-    pool = [{
-        "moments": jnp.asarray(
-            rng.normal(size=(args.batch, h, w, zc)).astype(np.float32) * 0.3),
-        "cls": jnp.asarray(
-            rng.normal(size=(args.batch, 768)).astype(np.float32)),
-    } for _ in range(args.pool)]
+    if args.stage == "stage1":
+        pool = [{
+            "moments": jnp.asarray(
+                rng.normal(size=(args.batch, h, w, zc)).astype(np.float32) * 0.3),
+            "cls": jnp.asarray(
+                rng.normal(size=(args.batch, 768)).astype(np.float32)),
+        } for _ in range(args.pool)]
+    else:
+        # stage-2 trains the tower: pixels in, full inline step
+        pool = [{
+            "image": jnp.asarray(
+                rng.random((args.batch, args.img, args.img, 3), np.float32)),
+        } for _ in range(args.pool)]
 
-    out = {"steps": args.steps, "batch": args.batch, "curves": {}}
+    out = {"steps": args.steps, "batch": args.batch, "stage": args.stage,
+           "curves": {}}
     for mode in args.modes.split(","):
         q8 = mode in ("int8", "int8_full", "int8_dw")
-        optimizer = optim.make_optimizer(
-            Config(dict(TRAIN_DEFAULTS)),
-            fused="pallas" if q8 else False, emit_quant=q8)
-        spec = image_task.TaskSpec(
-            stage="stage1", tower_kind="clip", img_size=args.img,
-            clip_image_size=224, dit_cfg=dit_cfg, vae_cfg=vae_cfg,
-            tower_cfg=tower_cfg, clip_dim=768, t5_dim=4096,
-            compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16,
-            vae_dtype=jnp.bfloat16, dit_quant=mode if q8 else "none",
-            dit_quant_cache=q8)
+        if args.stage == "stage2_only":
+            # QLoRA trajectories: frozen int8 bases, LoRA in bf16; the fused
+            # optimizer/weight-cache machinery is a trainable-DiT feature
+            optimizer = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
+            spec = image_task.TaskSpec(
+                stage="stage2_only", tower_kind="clip", img_size=args.img,
+                clip_image_size=224, dit_cfg=dit_cfg, vae_cfg=vae_cfg,
+                tower_cfg=tower_cfg, clip_dim=768, t5_dim=4096,
+                lora_dropout=0.1, compute_dtype=jnp.bfloat16,
+                dit_param_dtype=jnp.bfloat16, vae_dtype=jnp.bfloat16,
+                tower_quant="int8" if q8 else "none",
+                dit_quant="int8" if q8 else "none",
+                vae_quant="int8" if q8 else "none")
+        else:
+            optimizer = optim.make_optimizer(
+                Config(dict(TRAIN_DEFAULTS)),
+                fused="pallas" if q8 else False, emit_quant=q8)
+            spec = image_task.TaskSpec(
+                stage="stage1", tower_kind="clip", img_size=args.img,
+                clip_image_size=224, dit_cfg=dit_cfg, vae_cfg=vae_cfg,
+                tower_cfg=tower_cfg, clip_dim=768, t5_dim=4096,
+                compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16,
+                vae_dtype=jnp.bfloat16, dit_quant=mode if q8 else "none",
+                dit_quant_cache=q8)
         state = image_task.create_task_state(jax.random.key(0), spec, optimizer)
         step = image_task.make_train_step(spec, optimizer)
         losses = []
