@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import spmd
+
 
 DEFAULT_BLOCK_Q = 256
 
@@ -143,9 +145,9 @@ def _fwd(q, k, v, block_q):
                                 lambda bi, hi, qi: (bi, hi, qi, 0)),
                    pl.BlockSpec((1, hb, block_q, LSE_LANES),
                                 lambda bi, hi, qi: (bi, hi, qi, 0))),
-        out_shape=(jax.ShapeDtypeStruct(qt.shape, q.dtype),
-                   jax.ShapeDtypeStruct((b, h, nq * block_q, LSE_LANES),
-                                        jnp.float32)),
+        out_shape=(spmd.out_struct(qt.shape, q.dtype, qt, kt, vt),
+                   spmd.out_struct((b, h, nq * block_q, LSE_LANES),
+                                   jnp.float32, qt, kt, vt)),
         interpret=_INTERPRET,
     )(qt, kt, vt)
     return _to_bhld(out), lse
@@ -238,7 +240,7 @@ def _bwd_impl(q, k, v, o, lse, do, block_q):
             lse_spec,
         ],
         out_specs=pl.BlockSpec((1, hb, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        out_shape=spmd.out_struct(qt.shape, q.dtype, qt, kt, vt, ot, dot, lse),
         interpret=_INTERPRET,
     )(qt, kt, vt, ot, dot, lse)
 
@@ -259,8 +261,8 @@ def _bwd_impl(q, k, v, o, lse, do, block_q):
         grid=(b, h // hb),
         in_specs=[full_q, full_kv, full_kv, full_q, full_q, full_lse],
         out_specs=(full_kv, full_kv),
-        out_shape=(jax.ShapeDtypeStruct(kt.shape, k.dtype),
-                   jax.ShapeDtypeStruct(vt.shape, v.dtype)),
+        out_shape=(spmd.out_struct(kt.shape, k.dtype, q_p, kt, vt, lse),
+                   spmd.out_struct(vt.shape, v.dtype, q_p, kt, vt, lse)),
         scratch_shapes=[pltpu.VMEM((hb, l, d), jnp.float32),
                         pltpu.VMEM((hb, l, d), jnp.float32)],
         interpret=_INTERPRET,

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from . import spmd
+
 _INTERPRET = os.environ.get("GENHANCER_PALLAS_INTERPRET", "0") == "1"
 
 
@@ -176,7 +178,7 @@ def _run_fwd(q, k, v, cos_full=None, sin_full=None):
         grid=(b, h // h_blk),
         in_specs=in_specs,
         out_specs=spec_x,
-        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        out_shape=spmd.out_struct(qt.shape, q.dtype, *ins),
         interpret=_INTERPRET,
     )(*ins)
     return _to_bhld(out)
@@ -255,9 +257,9 @@ def _run_bwd(q, k, v, o, do, cos_full=None, sin_full=None):
         grid=(b, h // h_blk),
         in_specs=in_specs,
         out_specs=(spec_x, spec_x, spec_x),
-        out_shape=(jax.ShapeDtypeStruct(qt.shape, q.dtype),
-                   jax.ShapeDtypeStruct(kt.shape, k.dtype),
-                   jax.ShapeDtypeStruct(vt.shape, v.dtype)),
+        out_shape=(spmd.out_struct(qt.shape, q.dtype, *ins),
+                   spmd.out_struct(kt.shape, k.dtype, *ins),
+                   spmd.out_struct(vt.shape, v.dtype, *ins)),
         interpret=_INTERPRET,
     )(*ins)
     return _to_bhld(dq), _to_bhld(dk), _to_bhld(dv)

@@ -44,6 +44,19 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def out_struct(shape, dtype, *like):
+    """ShapeDtypeStruct for a ``pallas_call`` out_shape, inheriting the union
+    of the varying mesh axes (vma) of the ``like`` operands — required for
+    the kernel to trace inside a shard_map body with check_vma (e.g. the
+    pipeline stages of parallel/pp.py); a no-op in automatic (GSPMD)
+    context where operands carry no vma."""
+    vma = frozenset().union(
+        *(getattr(jax.typeof(x), "vma", None) or () for x in like))
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 @functools.lru_cache(maxsize=1)
 def enabled() -> bool:
     v = os.environ.get("GENHANCER_SPMD_ATTN", "auto")
@@ -160,7 +173,19 @@ def wrap(fn, arg_kinds: Sequence[str], out_kinds, rule: str,
         sharding_rule=rule,
         need_replication_factors=repl,
     )
-    return f
+
+    def dispatch(*args):
+        # Inside a shard_map body (manual context, e.g. the pipeline stages
+        # of parallel/pp.py) the arrays are already device-local:
+        # custom_partitioning has nothing to partition there (and its
+        # tracing rejects manual avals), so call the kernel directly —
+        # per-device on local shapes, exactly what the partitioner's
+        # lower_fn would have emitted.
+        if getattr(jax.sharding.get_abstract_mesh(), "manual_axes", ()):
+            return fn(*args)
+        return f(*args)
+
+    return dispatch
 
 
 # canonical rules (q-rows l, kv-rows s, head_dim d, table cols e,

@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
+PIPE_AXIS = "pipe"
 
 
 def maybe_initialize_distributed() -> None:
@@ -62,17 +63,33 @@ def maybe_initialize_distributed() -> None:
 
 def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1,
               devices: Optional[Sequence] = None,
-              sequence_parallel: int = 1) -> Mesh:
+              sequence_parallel: int = 1,
+              pipeline_parallel: int = 1) -> Mesh:
     """(data, model) mesh; with ``sequence_parallel`` > 1 a third ``seq``
-    axis is added for ring-attention context parallelism (parallel/ring.py).
-    Two axes stay the default so existing 2-D sharding layouts (and their
-    saved-checkpoint specs) are unchanged unless SP is requested."""
+    axis is added for ring-attention context parallelism (parallel/ring.py),
+    and with ``pipeline_parallel`` > 1 a ``pipe`` axis for the GPipe depth
+    pipeline (parallel/pp.py).  Two axes stay the default so existing 2-D
+    sharding layouts (and their saved-checkpoint specs) are unchanged unless
+    SP/PP is requested."""
     devices = list(devices if devices is not None else jax.devices())
     n = num_devices or len(devices)
     devices = devices[:n]
-    if n % (model_parallel * sequence_parallel):
+    if pipeline_parallel > 1 and (model_parallel > 1 or sequence_parallel > 1):
+        # TP shards the very weight dims the PP stage stacking slices, and
+        # SP's ring would nest a second shard_map inside the stage body —
+        # see parallel/pp.py "Composition".
+        raise ValueError(
+            "pipeline_parallel composes with data parallelism only "
+            f"(got model_parallel={model_parallel}, "
+            f"sequence_parallel={sequence_parallel})")
+    if n % (model_parallel * sequence_parallel * pipeline_parallel):
         raise ValueError(f"{n} devices not divisible by model_parallel="
-                         f"{model_parallel} x sequence_parallel={sequence_parallel}")
+                         f"{model_parallel} x sequence_parallel={sequence_parallel}"
+                         f" x pipeline_parallel={pipeline_parallel}")
+    if pipeline_parallel > 1:
+        arr = mesh_utils.create_device_mesh(
+            (n // pipeline_parallel, pipeline_parallel), devices=devices)
+        return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
     if sequence_parallel > 1:
         arr = mesh_utils.create_device_mesh(
             (n // model_parallel // sequence_parallel, model_parallel,

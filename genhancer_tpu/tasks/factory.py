@@ -137,7 +137,11 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   dit_quant_cache=cfg.get("fused_optimizer") == "pallas",
                   # ring-attention sequence parallelism (parallel/ring.py):
                   # the trainer builds the matching seq mesh axis
-                  sequence_parallel=int(cfg.get("sequence_parallel", 1) or 1))
+                  sequence_parallel=int(cfg.get("sequence_parallel", 1) or 1),
+                  # GPipe pipeline parallelism (parallel/pp.py): the trainer
+                  # builds the matching pipe mesh axis
+                  pipeline_parallel=int(cfg.get("pipeline_parallel", 1) or 1),
+                  pipeline_microbatches=int(cfg.get("pipeline_microbatches", 0) or 0))
 
     data_kwargs = dict(dc)
     data_kwargs.pop("img_size", None)

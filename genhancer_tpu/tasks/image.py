@@ -84,6 +84,13 @@ class TaskSpec:
     # mesh built with make_mesh(sequence_parallel=N); indivisible joint
     # token counts are padded inside the ring (pad keys masked to -inf).
     sequence_parallel: int = 1
+    # GPipe pipeline parallelism (parallel/pp.py): >1 shards the DiT's
+    # DEPTH over a ``pipe`` mesh axis — each device runs depth/pp blocks,
+    # microbatches flow stage-to-stage via ppermute.  Requires a mesh built
+    # with make_mesh(pipeline_parallel=N); composes with data parallelism
+    # (+ ZeRO-1) only.
+    pipeline_parallel: int = 1
+    pipeline_microbatches: int = 0   # 0 = auto (= pipeline_parallel stages)
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -177,6 +184,7 @@ def trainable_predicate(spec: TaskSpec, modules) -> Callable[[str], bool]:
 
 def make_loss_fn(spec: TaskSpec, mesh=None):
     ring_ctx = _ring_ctx_factory(spec, mesh)
+    dit_apply = _dit_apply_factory(spec, mesh)
 
     def loss_fn(trainable, frozen, batch, key, quant=None):
         from ..train.state import merged_quant_flat
@@ -233,7 +241,7 @@ def make_loss_fn(spec: TaskSpec, mesh=None):
               if (spec.dit_quant in ("int8", "int8_full", "int8_dw")
                   and spec.stage != "stage2_only")
               else contextlib.nullcontext()), ring_ctx():
-            pred = dit_m.dit_forward(
+            pred = dit_apply(
                 params["dit"], spec.dit_cfg,
                 img=xt.astype(spec.compute_dtype), img_ids=cond["img_ids"],
                 txt=cond["txt"].astype(spec.compute_dtype), txt_ids=cond["txt_ids"],
@@ -267,6 +275,35 @@ def _ring_ctx_factory(spec, mesh):
             f"mesh seq axis {mesh.shape.get(SEQ_AXIS, 1)} != "
             f"spec.sequence_parallel={spec.sequence_parallel}")
     return functools.partial(ring_m.ring_scope, mesh)
+
+
+def _dit_apply_factory(spec, mesh):
+    """Shared by image/video tasks: the DiT forward callable — plain
+    dit_forward, or the GPipe pipeline (parallel/pp.py) when the spec asks
+    for pipeline parallelism."""
+    pp = getattr(spec, "pipeline_parallel", 1)
+    if pp <= 1:
+        return dit_m.dit_forward
+    if mesh is None:
+        raise ValueError(
+            f"pipeline_parallel={pp} needs the mesh: pass mesh= to "
+            "make_loss_fn/make_train_step (the trainer builds it with "
+            "make_mesh(pipeline_parallel=N))")
+    from ..parallel import pp as pp_m
+    from ..parallel.mesh import PIPE_AXIS
+    if mesh.shape.get(PIPE_AXIS, 1) != pp:
+        raise ValueError(
+            f"mesh pipe axis {mesh.shape.get(PIPE_AXIS, 1)} != "
+            f"spec.pipeline_parallel={pp}")
+    if spec.dit_quant != "none":
+        raise ValueError(
+            "pipeline_parallel does not compose with dit_quant (the "
+            "SwitchBack int8 paths — incl. the optimizer-emitted weight "
+            "cache, which is keyed on the unstacked per-block layout — are "
+            "not validated under the stage shard_map); set dit_quant: none")
+    n_micro = getattr(spec, "pipeline_microbatches", 0) or pp
+    return functools.partial(pp_m.pipeline_dit_forward, mesh=mesh,
+                             n_micro=n_micro)
 
 
 def make_train_step(spec: TaskSpec, optimizer, mesh=None):

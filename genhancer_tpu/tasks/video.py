@@ -80,6 +80,8 @@ class VideoTaskSpec:
     dit_quant: str = "none"                  # switchback int8 DiT training
     dit_quant_cache: bool = False            # optimizer-fused W quant cache
     sequence_parallel: int = 1               # ring attention (image.TaskSpec)
+    pipeline_parallel: int = 1               # GPipe depth pipeline (parallel/pp.py)
+    pipeline_microbatches: int = 0           # 0 = auto (= pipeline stages)
 
     @property
     def n_cond(self) -> int:
@@ -166,8 +168,9 @@ def trainable_predicate(spec: VideoTaskSpec, modules) -> Callable[[str], bool]:
 
 
 def make_loss_fn(spec: VideoTaskSpec, mesh=None):
-    from .image import _ring_ctx_factory
+    from .image import _ring_ctx_factory, _dit_apply_factory
     ring_ctx = _ring_ctx_factory(spec, mesh)
+    dit_apply = _dit_apply_factory(spec, mesh)
 
     def loss_fn(trainable, frozen, batch, key, quant=None):
         from ..train.state import merged_quant_flat
@@ -231,7 +234,7 @@ def make_loss_fn(spec: VideoTaskSpec, mesh=None):
                                 dw_int8=spec.dit_quant == "int8_dw")
               if spec.dit_quant in ("int8", "int8_full", "int8_dw")
               else contextlib.nullcontext()), ring_ctx():
-            pred = dit_m.dit_forward(
+            pred = dit_apply(
                 params["dit"], spec.dit_cfg,
                 img=xt.astype(spec.compute_dtype), img_ids=dit_in["img_ids"],
                 txt=dit_in["txt"].astype(spec.compute_dtype), txt_ids=dit_in["txt_ids"],

@@ -120,8 +120,10 @@ class Trainer:
         n = int(cfg.get("num_devices") or len(jax.devices()))
         self.tp = int(cfg.get("model_parallel", 1) or 1)
         self.sp = int(cfg.get("sequence_parallel", 1) or 1)
+        self.pp = int(cfg.get("pipeline_parallel", 1) or 1)
         self.mesh = mesh_m.make_mesh(n, model_parallel=self.tp,
-                                     sequence_parallel=self.sp)
+                                     sequence_parallel=self.sp,
+                                     pipeline_parallel=self.pp)
         bs = int(cfg.get_path("data_config.train_batch_size", 1))
         n_data = mesh_m.data_axis_size(self.mesh)
         if bs % n_data:

@@ -124,3 +124,45 @@ class TestFusedRopeSPMD:
         for name, a, b in zip("qkv", got, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5, err_msg=f"d{name}")
+
+
+class TestManualContextDispatch:
+    """Inside a shard_map body (e.g. the pipeline stages of parallel/pp.py)
+    operands are device-local — custom_partitioning cannot trace there, so
+    spmd.wrap's dispatcher must route to the raw kernel on the local shapes
+    (and grads must still flow through the custom VJPs).  check_vma=False
+    matches the PP usage: interpret-mode Pallas cannot evaluate kernels on
+    vma-carrying operands (parallel/pp.py run_phase comment)."""
+
+    def test_flash_inside_shard_map_matches_xla(self, rng):
+        q, k, v = _qkv(rng)
+        mesh = _mesh_dp()
+        f = jax.shard_map(lambda a, b, c: fa_m.flash_attention(a, b, c, 64),
+                          mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                          check_vma=False)
+        out = jax.jit(f)(q, k, v)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(sdpa_xla(q, k, v)),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_fused_rope_inside_shard_map_grads(self, rng):
+        B, L, H, D = 4, 64, 4, 16
+        q, k, v = _qkv(rng, B, L, H, D)
+        ids = jnp.asarray(rng.integers(0, 20, (B, L, 3)).astype(np.float32))
+        cos, sin = multi_axis_rope(ids, (D // 2, D // 4, D // 4), 10_000)
+        mesh = _mesh_dp()
+        body = jax.shard_map(sa_m.fused_rope_attention, mesh=mesh,
+                             in_specs=P("data"), out_specs=P("data"),
+                             check_vma=False)
+
+        def loss(a, b, c):
+            return jnp.sum(body(a, b, c, cos, sin) ** 2)
+
+        got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+        ref = jax.grad(
+            lambda a, b, c: jnp.sum(sdpa_xla(apply_rope(a, cos, sin),
+                                             apply_rope(b, cos, sin), c) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5, err_msg=f"d{name}")
