@@ -51,15 +51,23 @@ _INT8_TRAIN_CTX = threading.local()
 
 
 @contextlib.contextmanager
-def int8_training_ctx(min_dim: int = 512, full: bool = False,
+def int8_training_ctx(min_dim: int = None, full: bool = False,
                       dw_int8: bool = False):
     """Route linears with min(out, in) >= min_dim through switchback int8.
+
+    ``min_dim`` defaults to quant.SWITCHBACK_MIN_DIM — the SAME constant
+    that selects the optimizer-maintained cache's layer set
+    (quant.switchback_cache_paths), so the cached copies and the forward
+    dispatch can never silently cover different layers.
 
     ``full=True`` selects the experimental full-int8 variant (dW also on the
     int8 MXU via XLA, per-channel scales — quant.switchback_linear_full).
     ``dw_int8=True`` runs dW through the Pallas per-block-quant kernel
     (core.pallas.int8_dw) instead — quantization fused into the tile loads,
     no extra HBM passes."""
+    if min_dim is None:
+        from .quant import SWITCHBACK_MIN_DIM
+        min_dim = SWITCHBACK_MIN_DIM
     prev = (getattr(_INT8_TRAIN_CTX, "min_dim", None),
             getattr(_INT8_TRAIN_CTX, "full", False),
             getattr(_INT8_TRAIN_CTX, "dw_int8", False))

@@ -78,6 +78,60 @@ def quantize_activation_tensor(x: jax.Array):
     return q.astype(jnp.int8), scale
 
 
+# ---------------------------------------------------------------------------
+# Shared backward building blocks.  Every int8 VJP in this file composes
+# these three — ONE copy of each scale-factoring derivation, so a numerics
+# fix applies to all variants at once (cached/uncached x dW-flavor).
+# ---------------------------------------------------------------------------
+
+def _int8_fwd_base(x: jax.Array, wq: jax.Array, ws: jax.Array) -> jax.Array:
+    """y = x @ dequant(wq, ws)^T on the int8 MXU: per-token x rows x
+    per-out-channel W rows, int32 accumulate, dequant (s_x ⊗ s_w).
+    ``ws``: 1-D [out] or [out, 1] keepdims — normalized here."""
+    xq, sx = quantize_activation_rows(x)
+    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * ws.reshape(-1)
+    return y.astype(x.dtype)
+
+
+def _int8_dx(g: jax.Array, wq: jax.Array, ws: jax.Array, out_dtype):
+    """dx = g @ W on the int8 MXU via exact scale folding.
+
+    W[o,i] = wq[o,i]·ws[o] with ws constant along the contraction, so
+    dx = dequant((g·ws)_q @ wq) — the weight stays int8 end to end (no
+    dequantized bf16 copy).  Quantizing the *scaled* g per token keeps the
+    dynamic-quant error at the same relative level as quantizing g
+    directly.  ``ws``: 1-D [out] (optimizer-cache layout) or the [out, 1]
+    keepdims column from quantize_weight — normalized here."""
+    gq, sg = quantize_activation_rows(g, col_scale=ws.reshape(-1))
+    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sg).astype(out_dtype)
+
+
+def _bf16_dw(g: jax.Array, x: jax.Array, out_dtype):
+    """dW[o,i] = sum_t g[t,o] x[t,i] over flattened tokens, f32 accumulate —
+    the precision-critical SwitchBack weight gradient (arXiv:2304.13013)."""
+    g2 = g.reshape(-1, g.shape[-1])
+    x2 = x.reshape(-1, x.shape[-1])
+    return jax.lax.dot_general(g2, x2, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _int8_dw_cols(g: jax.Array, x: jax.Array, out_dtype):
+    """Full-int8 dW with exact per-output x per-input scale factoring:
+    quantize g and x per COLUMN (both scale vectors constant along the
+    token contraction), dW = sg[o] * sx[i] * (gq^T @ xq)."""
+    g2 = g.reshape(-1, g.shape[-1])
+    x2 = x.reshape(-1, x.shape[-1])
+    gq2, sgc = _quantize_cols(g2)           # [T, out], scale [1, out]
+    xq2, sxc = _quantize_cols(x2)           # [T, in],  scale [1, in]
+    acc_w = jax.lax.dot_general(gq2, xq2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    return (acc_w.astype(jnp.float32) * sgc.T * sxc).astype(out_dtype)
+
+
 @jax.custom_vjp
 def _int8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array) -> jax.Array:
     """Forward on the int8 MXU; backward is the straight-through estimator
@@ -86,11 +140,7 @@ def _int8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array) -> jax.Array:
     contraction, so dx = (g·ws)_q @ wq).  ``round`` has zero gradient a.e.,
     so without the STE, gradients flowing *through* a quantized layer
     (stage-2 QLoRA stacks, int8 DiT forward) would vanish."""
-    xq, sx = quantize_activation_rows(x)
-    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * sx * ws[:, 0]
-    return y.astype(x.dtype)
+    return _int8_fwd_base(x, wq, ws)
 
 
 def _int8_matmul_fwd(x, wq, ws):
@@ -100,13 +150,7 @@ def _int8_matmul_fwd(x, wq, ws):
 def _int8_matmul_bwd(res, g):
     import numpy as np
     wq, ws = res
-    # int8 dx with the per-out-row scale folded into g's row quantization —
-    # the weight stays int8 end to end (no dequantized bf16 copy of W).
-    gq, sg = quantize_activation_rows(g, col_scale=ws[:, 0])
-    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    dx = (acc.astype(jnp.float32) * sg).astype(g.dtype)
-    return (dx,
+    return (_int8_dx(g, wq, ws, g.dtype),
             np.zeros(wq.shape, jax.dtypes.float0),             # int8 primal
             jnp.zeros_like(ws))
 
@@ -156,11 +200,7 @@ def conv2d_int8(p, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Array:
 def switchback_linear(x: jax.Array, w: jax.Array) -> jax.Array:
     """y = x @ w^T with int8 forward; w: [out, in] bf16/f32 master weights."""
     wq, ws = quantize_weight(w, axis=0)
-    xq, sx = quantize_activation_rows(x)
-    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * sx * ws[:, 0]
-    return y.astype(x.dtype)
+    return _int8_fwd_base(x, wq, ws)
 
 
 def _switchback_fwd(x, w):
@@ -170,30 +210,13 @@ def _switchback_fwd(x, w):
     # passes per step at 1.3B params).  int8 wq is also half the residual
     # bytes of carrying bf16 w.
     wq, ws = quantize_weight(w, axis=0)
-    xq, sx = quantize_activation_rows(x)
-    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    y = (acc.astype(jnp.float32) * sx * ws[:, 0]).astype(x.dtype)
-    return y, (x, wq, ws, jnp.zeros((), w.dtype))
+    return _int8_fwd_base(x, wq, ws), (x, wq, ws, jnp.zeros((), w.dtype))
 
 
 def _switchback_bwd(res, g):
     x, wq, ws, w_proto = res
-    # dx = g @ W = (g * ws) @ wq: exact scale factoring because
-    # W[o,i] = wq[o,i] * ws[o] and ws is constant along the contraction.
-    # Quantizing the *scaled* g per token keeps the dynamic-quant error at
-    # the same relative level as quantizing g directly.
-    # col-scale fused into the quant pass (g * ws, per-out-channel)
-    gq, sg = quantize_activation_rows(g, col_scale=ws[:, 0])
-    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
-    # dW in bf16 (precision-critical): dW[o,i] = sum_t g[t,o] x[t,i]
-    g2 = g.reshape(-1, g.shape[-1])
-    x2 = x.reshape(-1, x.shape[-1])
-    dw = jax.lax.dot_general(g2, x2, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32).astype(w_proto.dtype)
-    return dx, dw
+    return (_int8_dx(g, wq, ws, x.dtype),
+            _bf16_dw(g, x, w_proto.dtype))
 
 
 switchback_linear.defvjp(_switchback_fwd, _switchback_bwd)
@@ -218,33 +241,18 @@ def switchback_linear_cached(x: jax.Array, w: jax.Array,
     """y = x @ dequant(wq, ws)^T on the int8 MXU; w (the bf16 master) is
     passed only so autodiff has a leaf to attach dW to.  wq: int8 [out, in];
     ws: f32 [out]."""
-    xq, sx = quantize_activation_rows(x)
-    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * sx * ws
-    return y.astype(x.dtype)
+    return _int8_fwd_base(x, wq, ws)
 
 
 def _switchback_cached_fwd(x, w, wq, ws):
-    xq, sx = quantize_activation_rows(x)
-    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    y = (acc.astype(jnp.float32) * sx * ws).astype(x.dtype)
-    return y, (x, wq, ws, jnp.zeros((), w.dtype))
+    return _int8_fwd_base(x, wq, ws), (x, wq, ws, jnp.zeros((), w.dtype))
 
 
 def _switchback_cached_bwd(res, g):
     import numpy as np
     x, wq, ws, w_proto = res
-    gq, sg = quantize_activation_rows(g, col_scale=ws)
-    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
-    g2 = g.reshape(-1, g.shape[-1])
-    x2 = x.reshape(-1, x.shape[-1])
-    dw = jax.lax.dot_general(g2, x2, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32).astype(w_proto.dtype)
-    return (dx, dw,
+    return (_int8_dx(g, wq, ws, x.dtype),
+            _bf16_dw(g, x, w_proto.dtype),
             np.zeros(wq.shape, jax.dtypes.float0),   # int8 primal: no grad
             jnp.zeros_like(ws))
 
@@ -290,12 +298,7 @@ def switchback_linear_dw(x: jax.Array, w: jax.Array) -> jax.Array:
 
 def _switchback_dw_bwd(res, g):
     x, wq, ws, w_proto = res
-    # col-scale fused into the quant pass (g * ws, per-out-channel)
-    gq, sg = quantize_activation_rows(g, col_scale=ws[:, 0])
-    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
-    return dx, _dw(g, x, w_proto.dtype)
+    return _int8_dx(g, wq, ws, x.dtype), _dw(g, x, w_proto.dtype)
 
 
 switchback_linear_dw.defvjp(_switchback_fwd, _switchback_dw_bwd)
@@ -310,11 +313,7 @@ def switchback_linear_cached_dw(x, w, wq, ws):
 def _switchback_cached_dw_bwd(res, g):
     import numpy as np
     x, wq, ws, w_proto = res
-    gq, sg = quantize_activation_rows(g, col_scale=ws)
-    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
-    return (dx, _dw(g, x, w_proto.dtype),
+    return (_int8_dx(g, wq, ws, x.dtype), _dw(g, x, w_proto.dtype),
             np.zeros(wq.shape, jax.dtypes.float0),
             jnp.zeros_like(ws))
 
@@ -336,20 +335,8 @@ def switchback_linear_full_cached(x, w, wq, ws):
 def _switchback_full_cached_bwd(res, g):
     import numpy as np
     x, wq, ws, w_proto = res
-    gq, sg = quantize_activation_rows(g, col_scale=ws)
-    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
-    # int8 dW with exact per-output x per-input scale factoring (see
-    # _switchback_full_bwd)
-    g2 = g.reshape(-1, g.shape[-1])
-    x2 = x.reshape(-1, x.shape[-1])
-    gq2, sgc = _quantize_cols(g2)
-    xq2, sxc = _quantize_cols(x2)
-    acc_w = jax.lax.dot_general(gq2, xq2, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-    dw = (acc_w.astype(jnp.float32) * sgc.T * sxc).astype(w_proto.dtype)
-    return (dx, dw,
+    return (_int8_dx(g, wq, ws, x.dtype),
+            _int8_dw_cols(g, x, w_proto.dtype),
             np.zeros(wq.shape, jax.dtypes.float0),
             jnp.zeros_like(ws))
 
@@ -358,20 +345,27 @@ switchback_linear_full_cached.defvjp(_switchback_cached_fwd,
                                      _switchback_full_cached_bwd)
 
 
-# Which flat param paths participate in the optimizer-fused quant cache.
-# MUST mirror core.nn.linear's switchback dispatch (int8_training_ctx
-# min_dim) or the cache would silently cover a different layer set.
+# The single source of truth for "which linears run SwitchBack": both the
+# forward dispatch (core.nn.int8_training_ctx defaults its min_dim to this)
+# and the optimizer-fused cache's layer set (switchback_cache_paths below)
+# read it, so the cached copies and the traced int8 path can never silently
+# cover different layers.
 SWITCHBACK_MIN_DIM = 512
 
 
-def switchback_cache_paths(flat_params, prefix: str = "dit.") -> tuple:
+def switchback_cache_paths(flat_params, prefix: str = "dit.",
+                           min_dim: int = None) -> tuple:
     """Flat ``.weight`` paths that the int8 DiT forward routes through
-    SwitchBack — the leaves whose quantized copies the optimizer maintains."""
+    SwitchBack — the leaves whose quantized copies the optimizer maintains.
+    ``min_dim`` must equal the int8_training_ctx threshold the forward runs
+    with; both default to SWITCHBACK_MIN_DIM."""
+    if min_dim is None:
+        min_dim = SWITCHBACK_MIN_DIM
     out = []
     for path, leaf in flat_params.items():
         if (path.startswith(prefix) and path.endswith(".weight")
                 and getattr(leaf, "ndim", 0) == 2
-                and min(leaf.shape) >= SWITCHBACK_MIN_DIM):
+                and min(leaf.shape) >= min_dim):
             out.append(path)
     return tuple(sorted(out))
 
@@ -419,20 +413,8 @@ def _switchback_full_fwd(x, w):
 
 def _switchback_full_bwd(res, g):
     x, wq, ws, w_proto = res
-    # col-scale fused into the quant pass (g * ws, per-out-channel)
-    gq, sg = quantize_activation_rows(g, col_scale=ws[:, 0])
-    acc = jax.lax.dot_general(gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    dx = (acc.astype(jnp.float32) * sg).astype(x.dtype)
-    # int8 dW with exact per-output x per-input scale factoring
-    g2 = g.reshape(-1, g.shape[-1])
-    x2 = x.reshape(-1, x.shape[-1])
-    gq2, sgc = _quantize_cols(g2)           # [T, out], scale [1, out]
-    xq2, sxc = _quantize_cols(x2)           # [T, in],  scale [1, in]
-    acc_w = jax.lax.dot_general(gq2, xq2, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-    dw = (acc_w.astype(jnp.float32) * sgc.T * sxc).astype(w_proto.dtype)
-    return dx, dw
+    return (_int8_dx(g, wq, ws, x.dtype),
+            _int8_dw_cols(g, x, w_proto.dtype))
 
 
 switchback_linear_full.defvjp(_switchback_full_fwd, _switchback_full_bwd)

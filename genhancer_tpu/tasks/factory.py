@@ -162,21 +162,31 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   else 1024)
     # Long-conditioning video modes (e.g. sliding-window @336px: 3*576 txt +
     # 441 img tokens) may need activation remat to fit HBM — auto-enable
-    # unless the config sets remat explicitly.  The decision is on TOTAL
-    # activation tokens (batch x joint seq), not seq alone: the flash
-    # kernels keep attention memory O(L), so small-batch long-seq configs
-    # fit without remat and run much faster that way (measured on v5e:
-    # sliding @336 B=2, 4338 total tokens -> no-remat 209 ms vs full-remat
-    # 255-272 ms, a 23% win; image stage-1 runs 6304 total tokens
-    # remat-free).  Threshold 8192 sits between the measured-fit 6304 and
-    # the clearly-oversized middle-mode B=32 (50976).
+    # unless the config sets remat explicitly.  The decision is on the
+    # PER-DEVICE activation tokens (per-device batch x per-device seq), not
+    # seq alone: the flash kernels keep attention memory O(L), so
+    # small-batch long-seq configs fit without remat and run much faster
+    # that way (measured on v5e: sliding @336 B=2, 4338 total tokens ->
+    # no-remat 209 ms vs full-remat 255-272 ms, a 23% win; image stage-1
+    # runs 6304 total tokens remat-free).  Threshold 8192 sits between the
+    # measured-fit 6304 and the clearly-oversized middle-mode B=32 (50976).
+    # Per-device accounting mirrors the trainer's mesh: train_batch_size is
+    # PER-HOST (shard_batch assembles bs x process_count rows over the data
+    # axis) and ring SP shards the sequence, so multi-chip DP/SP runs whose
+    # per-device footprint fits keep the measured no-remat win.
     if cfg.get("remat") is None:
         n_cond = video_task.VIDEO_MODES[mode]["n_cond"]
         patch = (tower_cfg.vision.patch_size if hasattr(tower_cfg, "vision") else 14)
         seq = n_cond * (clip_image_size // patch) ** 2 + (img_size // 16) ** 2
         bs = int(cfg.get_path("data_config.train_batch_size",
                               cfg.get("train_batch_size", 8)))
-        if seq >= 1024 and bs * seq > 8192:
+        n_dev = int(cfg.get("num_devices") or len(jax.devices()))
+        tp = int(cfg.get("model_parallel", 1) or 1)
+        sp = int(cfg.get("sequence_parallel", 1) or 1)
+        pp = int(cfg.get("pipeline_parallel", 1) or 1)
+        n_data = max(1, n_dev // (tp * sp * pp))
+        per_dev_tokens = (bs * jax.process_count() / n_data) * (seq / sp)
+        if seq >= 1024 and per_dev_tokens > 8192:
             common = dict(common, remat=True)
     spec = video_task.VideoTaskSpec(
         mode=mode, stage=f"stage{stage}", adapter_in_dim=adapter_in,

@@ -19,7 +19,7 @@ from .state import TrainState, apply_gradients
 
 
 def make_accum_train_step(loss_fn, optimizer, accum_steps: int):
-    """loss_fn(trainable, frozen, micro_batch, key) -> scalar.
+    """loss_fn(trainable, frozen, micro_batch, key, quant) -> scalar.
 
     Returns jit'd (state, stacked_batch [accum, ...leaves], key) ->
     (state, metrics)."""
@@ -32,7 +32,8 @@ def make_accum_train_step(loss_fn, optimizer, accum_steps: int):
             grads_acc, loss_acc = carry
             micro, k = inp
             loss, grads = jax.value_and_grad(
-                lambda tp: loss_fn(tp, state.frozen, micro, k))(state.trainable)
+                lambda tp: loss_fn(tp, state.frozen, micro, k,
+                                   state.quant))(state.trainable)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss), None
 

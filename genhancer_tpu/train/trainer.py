@@ -349,11 +349,14 @@ class Trainer:
         batches = self._array_batches()
 
         # Preemption safety: TPU pods get SIGTERM ahead of reclaim.  The
-        # handler only sets a flag; the loop breaks at the next step boundary
-        # and the end-of-loop collective checkpoint saves resumable state
-        # (multi-host preemption delivers the signal to every worker, so the
-        # collective gather is safe).  Handler restored on exit — the trainer
-        # may be embedded (tests, notebooks).
+        # handler only sets a flag; the loop breaks at a step boundary and
+        # the end-of-loop collective checkpoint saves resumable state.
+        # Multi-host, the break decision is SYNCHRONIZED (_preempt_stop):
+        # the local flag alone must not gate the break — hosts observe the
+        # signal at different loop positions, and one host entering the
+        # collective checkpoint while another dispatches the next step
+        # deadlocks the pod.  Handler restored on exit — the trainer may be
+        # embedded (tests, notebooks).
         import signal
         self._preempted = False
 
@@ -374,12 +377,33 @@ class Trainer:
                 signal.signal(signal.SIGTERM, prev_term)
         return metrics_out
 
+    def _preempt_stop(self, step: int) -> bool:
+        """Uniform preemption-stop decision for the step boundary ``step``.
+
+        Single-process: the local SIGTERM flag.  Multi-host: process 0's
+        flag, broadcast to every host at a fixed step cadence — the local
+        flag must never gate the break, because hosts observe SIGTERM at
+        different loop positions and a host that stops early enters the
+        collective checkpoint gather while the others dispatch the next jit
+        step: mismatched collectives, pod deadlock, and the "preemption-
+        safe" checkpoint never completes.  Cadence = log_interval (the
+        boundaries where the loop already blocks on the loss fetch), which
+        bounds the reaction delay to log_interval steps — well inside the
+        30 s+ SIGTERM grace window of TPU reclaims."""
+        if jax.process_count() == 1:
+            return self._preempted
+        if step % self.log_interval:
+            return False
+        from jax.experimental import multihost_utils
+        return bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(self._preempted, np.int32)))
+
     def _train_loop(self, step, batches, trace_dir, last_data_t) -> dict:
         metrics_out = {}
         for batch in batches:
             if step >= self.max_steps:
                 break
-            if self._preempted:
+            if self._preempt_stop(step):
                 log.warning("preempted — stopping at step %d (checkpoint "
                             "follows; relaunch with "
                             "resume_from_checkpoint: latest)", step)

@@ -5,7 +5,8 @@ dropped 'valid', training on zero pad rows unmasked)."""
 import numpy as np
 import pytest
 
-from genhancer_tpu.train.step_utils import stack_microbatches
+from genhancer_tpu.train.step_utils import (make_accum_train_step,
+                                            stack_microbatches)
 
 
 def _b(n, valid=None):
@@ -42,3 +43,38 @@ class TestStackMicrobatches:
         b = dict(_b(4), cond=np.zeros((4, 2), np.float32))
         with pytest.raises(ValueError, match="missing keys"):
             stack_microbatches([b, a])
+
+
+class TestAccumQuantThreading:
+    """code-review r3 finding: the accumulation step called loss_fn without
+    state.quant, so the optimizer-maintained int8 weight cache was silently
+    never consumed under gradient_accumulation_steps >= 2 (numerics
+    unchanged, but every forward paid the W re-quantization the cache
+    exists to remove)."""
+
+    def test_accum_step_passes_quant_to_loss(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from genhancer_tpu.train.state import TrainState, with_quant_cache
+
+        tr = {"dit.blk.weight": jnp.ones((512, 512), jnp.bfloat16) * 0.01}
+        opt = optax.sgd(1e-3)
+        state = TrainState(trainable=tr, frozen={}, opt_state=opt.init(tr),
+                           step=jnp.zeros((), jnp.int32))
+        state = with_quant_cache(state)
+        assert state.quant, "cache fixture must engage the quant path"
+
+        seen = {}
+
+        def loss_fn(tp, frozen, micro, key, quant=None):
+            seen["quant_is_none"] = quant is None
+            w = tp["dit.blk.weight"].astype(jnp.float32)
+            return jnp.mean(w) * jnp.mean(micro["x"])
+
+        step = make_accum_train_step(loss_fn, opt, 2)
+        batch = {"x": np.ones((2, 4), np.float32)}
+        new_state, _ = step(state, batch, jax.random.key(0))
+        assert seen["quant_is_none"] is False
+        # apply_gradients refreshed the cache for the next step
+        assert new_state.quant is not None
