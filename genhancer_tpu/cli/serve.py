@@ -36,6 +36,14 @@ def main(argv=None):
                         help="int8: statically quantize all serving params "
                              "(DiT+tower linears, VAE convs) — 2x MXU peak "
                              "on v5e, per-channel weight scales")
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help=">1: multi-chip serving — batch shards over a "
+                             "device-mesh data axis (buckets round up to "
+                             "multiples of the data-axis size)")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="shard the DiT over a model mesh axis with the "
+                             "training TP placements (DiTs past one chip's "
+                             "HBM / latency scaling)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -53,7 +61,8 @@ def main(argv=None):
     engine = InferenceEngine.from_config(
         args.config, load_dir=args.load_dir, load_step=args.load_step,
         num_steps=args.num_steps, guidance=args.guidance, buckets=buckets,
-        quant=args.quant)
+        quant=args.quant, num_devices=args.num_devices,
+        model_parallel=args.model_parallel)
     log.info("warming up %s x buckets %s", endpoints, buckets)
     engine.warmup(endpoints)
 

@@ -48,12 +48,23 @@ _TP_RULES = [
 
 
 def dit_param_spec(path: str, leaf) -> P:
-    """PartitionSpec for one flat DiT param path (P() = replicated)."""
+    """PartitionSpec for one flat DiT param path (P() = replicated).
+
+    Static-int8 factor leaves (serving: core.quant.quantize_linear_tree
+    replaces ``weight`` with ``weight_q`` [o,i] + ``w_scale`` [o,1]) shard
+    like the weight they stand for: ``weight_q`` takes the weight spec;
+    the per-output-row ``w_scale`` shards with the output dim (replicated
+    for row-parallel consumers, whose sharded dim is the input)."""
     for pat, (w_spec, b_spec) in _TP_RULES:
         if pat.search(path):
-            if path.endswith(".weight") and getattr(leaf, "ndim", 0) == 2:
+            nd = getattr(leaf, "ndim", 0)
+            if path.endswith(".weight") and nd == 2:
                 return w_spec
-            if path.endswith(".bias") and getattr(leaf, "ndim", 0) == 1:
+            if path.endswith(".weight_q") and nd == 2:
+                return w_spec
+            if path.endswith(".w_scale") and nd == 2:
+                return P(tuple(w_spec)[0], None)
+            if path.endswith(".bias") and nd == 1:
                 return b_spec
             break
     return P()

@@ -55,12 +55,21 @@ class InferenceEngine:
 
     def __init__(self, spec, params, *, num_steps: int = 20,
                  guidance: float = 4.0, shift_schedule: bool = True,
-                 buckets: Sequence[int] = (1, 4, 8), quant: str = "none"):
+                 buckets: Sequence[int] = (1, 4, 8), quant: str = "none",
+                 num_devices: int = 1, model_parallel: int = 1):
         """``quant="int8"``: statically quantize every serving param tree
         (DiT + tower linears, VAE convs — core.quant) at load; v5e runs the
         int8 MXU at 2x bf16 peak and inference has no dW to protect, so the
         whole model is eligible (unlike training, where SwitchBack keeps
-        the weight gradient in bf16)."""
+        the weight gradient in bf16).
+
+        ``num_devices > 1``: multi-chip serving over a ``jax.sharding.Mesh``
+        — the batch shards over the data axis (throughput scaling: each
+        request bucket spreads over dp chips), and ``model_parallel`` shards
+        the DiT with the training TP placements (parallel/tp.py — latency /
+        HBM scaling for DiTs past one chip).  Buckets are rounded UP to
+        multiples of the data-axis size so every device holds equal rows;
+        params are replicated (or TP-placed) once at load."""
         self.spec = spec
         self.num_steps = int(num_steps)
         self.guidance = float(guidance)
@@ -75,11 +84,41 @@ class InferenceEngine:
         elif quant != "none":
             raise ValueError(f"quant must be none|int8, got {quant!r}")
         self.quant = quant
-        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+
+        self.mesh = None
+        self._batch_sharding = None
+        dp = 1
+        if int(num_devices) > 1 or int(model_parallel) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import mesh as mesh_m
+            from ..parallel import tp as tp_m
+            tp_m.validate_tp(spec.dit_cfg, int(model_parallel))
+            self.mesh = mesh_m.make_mesh(int(num_devices),
+                                         model_parallel=int(model_parallel))
+            dp = mesh_m.data_axis_size(self.mesh)
+            self._batch_sharding = NamedSharding(self.mesh,
+                                                 P(mesh_m.DATA_AXIS))
+
+        # every device must hold equal batch rows: round buckets up to
+        # multiples of the data-axis size (requests still pad to the bucket)
+        self.buckets = tuple(sorted(set(
+            -(-int(b) // dp) * dp for b in buckets)))
         if not self.buckets:
             raise ValueError("at least one batch bucket required")
         self.max_batch = self.buckets[-1]
-        self._params = jax.device_put(params)
+
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_m
+            if int(model_parallel) > 1:
+                from ..parallel import tp as tp_m
+                from ..train.state import flatten_params, unflatten_params
+                placed, _ = tp_m.shard_dit_params(flatten_params(params),
+                                                  self.mesh)
+                self._params = unflatten_params(placed)
+            else:
+                self._params = mesh_m.replicate(params, self.mesh)
+        else:
+            self._params = jax.device_put(params)
         self._lock = threading.Lock()
         # unseeded noise must differ across restarts and replicas — a
         # counter from 0 would replay the identical "random" sequence on
@@ -144,7 +183,7 @@ class InferenceEngine:
         Returns reconstructed [n, H, W, 3] in [0,1]."""
         n = images01.shape[0]
         b = self.bucket_for(n)
-        batch = jnp.asarray(_pad_to(np.asarray(images01, np.float32), b))
+        batch = self._place(_pad_to(np.asarray(images01, np.float32), b))
         with self._lock:
             key = (jax.random.key(seed) if seed is not None
                    else self._next_key())
@@ -152,13 +191,20 @@ class InferenceEngine:
             out = np.asarray(out)
         return out[:n]
 
+    def _place(self, arr: np.ndarray):
+        """Host batch -> device: sharded over the mesh data axis when
+        multi-chip, plain transfer single-device."""
+        if self._batch_sharding is not None:
+            return jax.device_put(arr, self._batch_sharding)
+        return jnp.asarray(arr)
+
     def embed(self, images01: np.ndarray) -> np.ndarray:
         """images01: [n, H, W, 3] in [0,1] -> [n, D] tower class tokens
         (visual_projection@pooler for CLIP, MAP-pooled for SigLIP — the
         representation MMVP evaluates)."""
         n = images01.shape[0]
         b = self.bucket_for(n)
-        batch = jnp.asarray(_pad_to(np.asarray(images01, np.float32), b))
+        batch = self._place(_pad_to(np.asarray(images01, np.float32), b))
         with self._lock:
             out = np.asarray(self._embed(self._params, batch))
         return out[:n]

@@ -39,7 +39,7 @@ TINY_TOWER = clip_m.CLIPConfig(
     projection_dim=24)
 
 
-def make_engine(buckets=(1, 4), num_steps=2, quant="none"):
+def make_engine(buckets=(1, 4), num_steps=2, quant="none", **kw):
     import jax
     spec = image_task.TaskSpec(
         stage="stage1", tower_kind="clip", img_size=32, clip_image_size=32,
@@ -49,7 +49,7 @@ def make_engine(buckets=(1, 4), num_steps=2, quant="none"):
     params = {"dit": modules["dit"], "vae": modules["vae"],
               "clip": modules["clip"]}
     return InferenceEngine(spec, params, num_steps=num_steps,
-                           buckets=buckets, quant=quant)
+                           buckets=buckets, quant=quant, **kw)
 
 
 @pytest.fixture(scope="module")
@@ -107,6 +107,45 @@ class TestEngine:
         assert np.isfinite(rec_q).all()
         # 2 sampler steps compound the drift; just require close agreement
         assert np.abs(rec_q - rec).mean() < 0.05, np.abs(rec_q - rec).mean()
+
+
+class TestMultiChipEngine:
+    """Multi-chip serving: the mesh-sharded engine must reproduce the
+    single-device engine — parallelism is placement, not math (8 virtual
+    CPU devices via conftest).  Covers mesh DP (batch over the data axis),
+    DiT TP (training placements reused at serve time), int8 x TP (the
+    weight_q/w_scale factor leaves shard like the weight they replace),
+    and the bucket round-up to data-axis multiples."""
+
+    def test_dp_matches_single_device(self, engine, rng):
+        eng = make_engine(buckets=(4,), num_devices=2)
+        img = rng.random((4, 32, 32, 3), dtype=np.float32)
+        np.testing.assert_allclose(eng.reconstruct(img, seed=3),
+                                   engine.reconstruct(img, seed=3), atol=2e-5)
+        np.testing.assert_allclose(eng.embed(img), engine.embed(img),
+                                   atol=2e-5)
+
+    def test_dp_tp_matches_single_device(self, engine, rng):
+        eng = make_engine(buckets=(4,), num_devices=4, model_parallel=2)
+        img = rng.random((4, 32, 32, 3), dtype=np.float32)
+        np.testing.assert_allclose(eng.reconstruct(img, seed=5),
+                                   engine.reconstruct(img, seed=5), atol=2e-5)
+
+    def test_int8_tp_engine_runs(self, rng):
+        ref = make_engine(buckets=(2,), quant="int8")
+        eng = make_engine(buckets=(2,), quant="int8", num_devices=2,
+                          model_parallel=2)
+        img = rng.random((2, 32, 32, 3), dtype=np.float32)
+        np.testing.assert_allclose(eng.reconstruct(img, seed=1),
+                                   ref.reconstruct(img, seed=1), atol=2e-5)
+
+    def test_buckets_round_up_to_data_axis(self, rng):
+        eng = make_engine(buckets=(1, 4), num_devices=2)
+        assert eng.buckets == (2, 4)
+        # a 1-image request pads to the rounded bucket and still works
+        out = eng.reconstruct(rng.random((1, 32, 32, 3), dtype=np.float32),
+                              seed=0)
+        assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()
 
 
 class TestMicroBatcher:
