@@ -15,6 +15,7 @@ matches the MXU/VPU lane width for flux-dev head_dim=128).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -24,6 +25,53 @@ import jax.numpy as jnp
 from .rope import apply_rope
 
 _USE_PALLAS = os.environ.get("GENHANCER_PALLAS_ATTN", "auto")
+
+# FSDP activation anchor (trace-time scope, the ring_scope pattern).
+# Under ``fsdp: true`` the param leaves are sharded over the ``data`` axis
+# (parallel/fsdp.py); GSPMD's propagation pass may keep a matmul OUTPUT
+# sharded on the weight's axis instead of gathering the weight, and a later
+# head-split reshape then carries a sharding like "split the 8-way data
+# axis 4-way over H x 2-way over D" — a tiling NamedSharding cannot express,
+# which breaks the Pallas custom_partitioning callbacks (observed:
+# "shape=[1,1,4,2] is incompatible with mesh_shape={data:8,model:1}").
+# The scope pins attention operands to the canonical activation layout —
+# batch over ``data``, heads over ``model`` (local heads under TP), L/D
+# replicated — exactly the FSDP semantics (weights gather at use,
+# activations stay data-parallel), expressed at the one boundary where a
+# kernel needs it.
+_ANCHOR_MESH: list = []
+
+
+@contextlib.contextmanager
+def batch_anchor_scope(mesh):
+    _ANCHOR_MESH.append(mesh)
+    try:
+        yield
+    finally:
+        _ANCHOR_MESH.pop()
+
+
+def _anchor4(*arrays):
+    """Constrain rank-4 [B, L, H, D] operands to P(data, None, model, None)
+    when an anchor scope is open (no-op otherwise)."""
+    if not _ANCHOR_MESH:
+        return arrays
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+    mesh = _ANCHOR_MESH[-1]
+    model = MODEL_AXIS if mesh.shape.get(MODEL_AXIS, 1) > 1 else None
+    sh = NamedSharding(mesh, P(DATA_AXIS, None, model, None))
+    return tuple(jax.lax.with_sharding_constraint(x, sh) for x in arrays)
+
+
+def _anchor3(*arrays):
+    """Rank-3 [B, L, E] RoPE tables: batch over data, rest replicated."""
+    if not _ANCHOR_MESH:
+        return arrays
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+    sh = NamedSharding(_ANCHOR_MESH[-1], P(DATA_AXIS, None, None))
+    return tuple(jax.lax.with_sharding_constraint(x, sh) for x in arrays)
 
 
 def _merge_heads(x: jax.Array) -> jax.Array:
@@ -144,6 +192,7 @@ def sdpa_auto(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     Pallas kernel for short sequences on TPU — used by the tower encoders,
     whose small per-head matmuls run at ~33% MFU on the XLA einsum path —
     else the standard dispatch."""
+    q, k, v = _anchor4(q, k, v)
     if _fused_short_ok(q):
         return _fused_norope_fn()(q, k, v)
     return sdpa(q, k, v)
@@ -169,6 +218,8 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
         k = apply_rope(k, cos, sin)
         return _merge_heads(ring_m.ring_attention(q, k, v, mesh,
                                                   axis_name=axis_name))
+    q, k, v = _anchor4(q, k, v)
+    cos, sin = _anchor3(cos, sin)
     if _fused_short_ok(q):
         return _merge_heads(_fused_short_fn()(q, k, v, cos, sin))
     q = apply_rope(q, cos, sin)

@@ -141,7 +141,10 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   # GPipe pipeline parallelism (parallel/pp.py): the trainer
                   # builds the matching pipe mesh axis
                   pipeline_parallel=int(cfg.get("pipeline_parallel", 1) or 1),
-                  pipeline_microbatches=int(cfg.get("pipeline_microbatches", 0) or 0))
+                  pipeline_microbatches=int(cfg.get("pipeline_microbatches", 0) or 0),
+                  # FSDP/ZeRO-3 (parallel/fsdp.py): the trainer shards the
+                  # params; the task opens the attention activation anchor
+                  fsdp=bool(cfg.get("fsdp", False)))
 
     data_kwargs = dict(dc)
     data_kwargs.pop("img_size", None)

@@ -91,6 +91,12 @@ class TaskSpec:
     # (+ ZeRO-1) only.
     pipeline_parallel: int = 1
     pipeline_microbatches: int = 0   # 0 = auto (= pipeline_parallel stages)
+    # FSDP/ZeRO-3 (parallel/fsdp.py): params sharded over the data axis.
+    # The loss opens core.attention.batch_anchor_scope so attention operands
+    # are pinned to the canonical activation layout — without it GSPMD can
+    # propagate a weight's data-axis sharding through the head-split reshape
+    # into a tiling the Pallas custom_partitioning cannot express.
+    fsdp: bool = False
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -184,6 +190,7 @@ def trainable_predicate(spec: TaskSpec, modules) -> Callable[[str], bool]:
 
 def make_loss_fn(spec: TaskSpec, mesh=None):
     ring_ctx = _ring_ctx_factory(spec, mesh)
+    anchor_ctx = _anchor_ctx_factory(spec, mesh)
     dit_apply = _dit_apply_factory(spec, mesh)
 
     def loss_fn(trainable, frozen, batch, key, quant=None):
@@ -255,7 +262,11 @@ def make_loss_fn(spec: TaskSpec, mesh=None):
         return flow.mse_loss(pred, flow.velocity_target(x1, x0),
                              mask=batch.get("valid"))
 
-    return loss_fn
+    def loss_fn_scoped(*a, **kw):
+        with anchor_ctx():
+            return loss_fn(*a, **kw)
+
+    return loss_fn_scoped
 
 
 def _ring_ctx_factory(spec, mesh):
@@ -275,6 +286,19 @@ def _ring_ctx_factory(spec, mesh):
             f"mesh seq axis {mesh.shape.get(SEQ_AXIS, 1)} != "
             f"spec.sequence_parallel={spec.sequence_parallel}")
     return functools.partial(ring_m.ring_scope, mesh)
+
+
+def _anchor_ctx_factory(spec, mesh):
+    """Shared by image/video tasks: a () -> contextmanager pinning attention
+    operands to the canonical activation layout under FSDP (see
+    core.attention.batch_anchor_scope)."""
+    if not getattr(spec, "fsdp", False):
+        return contextlib.nullcontext
+    if mesh is None:
+        raise ValueError("fsdp: true needs the mesh: pass mesh= to "
+                         "make_loss_fn/make_train_step")
+    from ..core import attention as attn_m
+    return functools.partial(attn_m.batch_anchor_scope, mesh)
 
 
 def _dit_apply_factory(spec, mesh):

@@ -82,6 +82,7 @@ class VideoTaskSpec:
     sequence_parallel: int = 1               # ring attention (image.TaskSpec)
     pipeline_parallel: int = 1               # GPipe depth pipeline (parallel/pp.py)
     pipeline_microbatches: int = 0           # 0 = auto (= pipeline stages)
+    fsdp: bool = False                       # ZeRO-3 params (image.TaskSpec)
 
     @property
     def n_cond(self) -> int:
@@ -168,8 +169,10 @@ def trainable_predicate(spec: VideoTaskSpec, modules) -> Callable[[str], bool]:
 
 
 def make_loss_fn(spec: VideoTaskSpec, mesh=None):
-    from .image import _ring_ctx_factory, _dit_apply_factory
+    from .image import (_anchor_ctx_factory, _dit_apply_factory,
+                        _ring_ctx_factory)
     ring_ctx = _ring_ctx_factory(spec, mesh)
+    anchor_ctx = _anchor_ctx_factory(spec, mesh)
     dit_apply = _dit_apply_factory(spec, mesh)
 
     def loss_fn(trainable, frozen, batch, key, quant=None):
@@ -244,7 +247,11 @@ def make_loss_fn(spec: VideoTaskSpec, mesh=None):
 
         return flow.mse_loss(pred, flow.velocity_target(x1, x0), mask=valid)
 
-    return loss_fn
+    def loss_fn_scoped(*a, **kw):
+        with anchor_ctx():
+            return loss_fn(*a, **kw)
+
+    return loss_fn_scoped
 
 
 def make_train_step(spec: VideoTaskSpec, optimizer, mesh=None):

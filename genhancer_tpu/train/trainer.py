@@ -182,6 +182,7 @@ class Trainer:
                 log.info("resumed from step %d", int(self.state.step))
 
         self.state = mesh_m.replicate(self.state, self.mesh)
+        tp_placements = None
         if self.tp > 1:
             # Megatron-style DiT tensor parallelism as placements
             # (parallel.tp).  The DiT lives in ``trainable`` for stage-1 /
@@ -189,9 +190,29 @@ class Trainer:
             # the knob is never a silent no-op.
             from ..parallel import tp as tp_m
             tp_m.validate_tp(self.spec.dit_cfg, self.tp)
-            trainable, placements = tp_m.shard_dit_params(
+            trainable, tp_placements = tp_m.shard_dit_params(
                 self.state.trainable, self.mesh)
-            frozen, _ = tp_m.shard_dit_params(self.state.frozen, self.mesh)
+            frozen, tp_frozen = tp_m.shard_dit_params(self.state.frozen,
+                                                      self.mesh)
+            tp_placements = {**tp_placements, **tp_frozen}
+            self.state = self.state.replace(
+                trainable=trainable, frozen=frozen,
+                opt_state=tp_m.shard_like_params(self.state.opt_state,
+                                                 tp_placements, self.mesh))
+        if bool(cfg.get("fsdp", False)):
+            # ZeRO-3/FSDP: every param leaf sharded over the data axis —
+            # per-chip weight residency 1/dp; XLA inserts the per-use
+            # all-gather and the grad reduce-scatter (parallel/fsdp.py)
+            from ..parallel import fsdp as fsdp_m
+            from ..parallel import tp as tp_m
+            fsdp_m.validate_fsdp(cfg)
+            min_size = int(cfg.get("fsdp_min_size", fsdp_m.MIN_SHARD_SIZE))
+            trainable, placements = fsdp_m.shard_params_fsdp(
+                self.state.trainable, self.mesh,
+                tp_placements=tp_placements, min_size=min_size)
+            frozen, _ = fsdp_m.shard_params_fsdp(
+                self.state.frozen, self.mesh,
+                tp_placements=tp_placements, min_size=min_size)
             self.state = self.state.replace(
                 trainable=trainable, frozen=frozen,
                 opt_state=tp_m.shard_like_params(self.state.opt_state,

@@ -166,3 +166,46 @@ class TestManualContextDispatch:
         for name, a, b in zip("qkv", got, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5, err_msg=f"d{name}")
+
+
+class TestFsdpAnchor:
+    """FSDP x Pallas regression (dryrun failure): with a qkv WEIGHT sharded
+    over an 8-way data axis (parallel/fsdp.py), GSPMD may keep the matmul
+    output sharded on the weight's axis and the head-split reshape then
+    carries a tiling — e.g. 8 = 4(H) x 2(D) — that custom_partitioning's
+    NamedSharding conversion rejects ("shape=[1,1,4,2] is incompatible with
+    mesh").  core.attention.batch_anchor_scope re-pins attention operands to
+    the canonical activation layout; this test drives attention() through
+    the fused kernel with a weight-sharded qkv projection and checks parity
+    against the unsharded XLA reference.  (The propagation choice is
+    cost-based — this minimal graph may compile even unanchored; the
+    full-train-step repro is __graft_entry__.dryrun_multichip's FSDP
+    segment, which failed without the anchor.)"""
+
+    def test_weight_sharded_qkv_through_kernel(self, rng):
+        from genhancer_tpu.core import attention as attn_m
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        B, L, H, D = 8, 64, 4, 16
+        h = H * D
+        x = jnp.asarray(rng.standard_normal((B, L, h)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3 * h, h)) * 0.05, jnp.float32)
+        ids = jnp.asarray(rng.integers(0, 20, (B, L, 3)).astype(np.float32))
+        cos, sin = multi_axis_rope(ids, (D // 2, D // 4, D // 4), 10_000)
+
+        def f(x, w, cos, sin):
+            qkv = jnp.einsum("blh,oh->blo", x, w)
+            q, k, v = (qkv.reshape(B, L, 3, H, D)[:, :, i] for i in range(3))
+            return attn_m.attention(q, k, v, cos, sin)
+
+        ref = f(x, w, cos, sin)   # single-logical-device trace
+
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        ws = jax.device_put(w, NamedSharding(mesh, P("data", None)))  # FSDP
+        ts = jax.device_put(cos, NamedSharding(mesh, P("data")))
+        ss = jax.device_put(sin, NamedSharding(mesh, P("data")))
+        with attn_m.batch_anchor_scope(mesh):
+            out = jax.jit(f)(xs, ws, ts, ss)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
