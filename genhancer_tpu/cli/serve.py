@@ -63,7 +63,9 @@ def main(argv=None):
         num_steps=args.num_steps, guidance=args.guidance, buckets=buckets,
         quant=args.quant, num_devices=args.num_devices,
         model_parallel=args.model_parallel)
-    log.info("warming up %s x buckets %s", endpoints, buckets)
+    # engine.buckets, not the parsed flag: multi-chip serving rounds
+    # buckets up to data-axis multiples
+    log.info("warming up %s x buckets %s", endpoints, list(engine.buckets))
     engine.warmup(endpoints)
 
     # only the warmed endpoints are served — an un-warmed endpoint would

@@ -51,15 +51,20 @@ def batch_anchor_scope(mesh):
         _ANCHOR_MESH.pop()
 
 
-def _anchor4(*arrays):
+def _anchor4(*arrays, tp_heads: bool = True):
     """Constrain rank-4 [B, L, H, D] operands to P(data, None, model, None)
-    when an anchor scope is open (no-op otherwise)."""
+    when an anchor scope is open (no-op otherwise).  ``tp_heads=False``
+    keeps heads replicated — the tower encoders' projections are never
+    TP-sharded (parallel/tp.py shards DiT paths only), so pinning their
+    heads to the model axis would force a slice + all-gather per tower
+    attention that buys nothing."""
     if not _ANCHOR_MESH:
         return arrays
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
     mesh = _ANCHOR_MESH[-1]
-    model = MODEL_AXIS if mesh.shape.get(MODEL_AXIS, 1) > 1 else None
+    model = (MODEL_AXIS if tp_heads and mesh.shape.get(MODEL_AXIS, 1) > 1
+             else None)
     sh = NamedSharding(mesh, P(DATA_AXIS, None, model, None))
     return tuple(jax.lax.with_sharding_constraint(x, sh) for x in arrays)
 
@@ -192,7 +197,7 @@ def sdpa_auto(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     Pallas kernel for short sequences on TPU — used by the tower encoders,
     whose small per-head matmuls run at ~33% MFU on the XLA einsum path —
     else the standard dispatch."""
-    q, k, v = _anchor4(q, k, v)
+    q, k, v = _anchor4(q, k, v, tp_heads=False)
     if _fused_short_ok(q):
         return _fused_norope_fn()(q, k, v)
     return sdpa(q, k, v)

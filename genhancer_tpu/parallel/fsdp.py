@@ -115,6 +115,15 @@ def validate_fsdp(cfg) -> None:
     if int(cfg.get("pipeline_parallel", 1) or 1) > 1:
         raise ValueError("fsdp does not compose with pipeline_parallel "
                          "(stage stacking owns the param placement)")
+    if int(cfg.get("sequence_parallel", 1) or 1) > 1:
+        # the ring path returns before the attention activation anchor
+        # applies, so the GSPMD reshape-tiling hazard the anchor guards
+        # against is unhandled under SP — reject rather than run an
+        # unvalidated layout (SP already gives O(L/n) activation memory;
+        # pair it with ZeRO-1 for optimizer residency instead)
+        raise ValueError("fsdp does not compose with sequence_parallel "
+                         "(the attention anchor does not cover the ring "
+                         "path); use shard_optimizer_state with SP")
     if cfg.get("fused_optimizer") == "pallas":
         raise ValueError(
             "fsdp requires the default optax optimizer: the fused Pallas "

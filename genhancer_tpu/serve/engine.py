@@ -93,6 +93,10 @@ class InferenceEngine:
             from ..parallel import mesh as mesh_m
             from ..parallel import tp as tp_m
             tp_m.validate_tp(spec.dit_cfg, int(model_parallel))
+            # --model_parallel alone implies at least that many devices
+            # (dp1 x tpN); make_mesh would otherwise build a 1-device mesh
+            # and fail the divisibility check
+            num_devices = max(int(num_devices), int(model_parallel))
             self.mesh = mesh_m.make_mesh(int(num_devices),
                                          model_parallel=int(model_parallel))
             dp = mesh_m.data_axis_size(self.mesh)

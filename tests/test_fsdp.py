@@ -94,6 +94,8 @@ class TestFsdpSpec:
             fsdp_m.validate_fsdp(Config({"pipeline_parallel": 2}))
         with pytest.raises(ValueError, match="optax"):
             fsdp_m.validate_fsdp(Config({"fused_optimizer": "pallas"}))
+        with pytest.raises(ValueError, match="sequence_parallel"):
+            fsdp_m.validate_fsdp(Config({"sequence_parallel": 2}))
 
 
 class TestFsdpTraining:

@@ -139,6 +139,16 @@ class TestMultiChipEngine:
         np.testing.assert_allclose(eng.reconstruct(img, seed=1),
                                    ref.reconstruct(img, seed=1), atol=2e-5)
 
+    def test_model_parallel_alone_implies_devices(self, engine, rng):
+        # --model_parallel without --num_devices: dp1 x tpN mesh (the
+        # engine raises num_devices to model_parallel instead of building
+        # an indivisible 1-device mesh)
+        eng = make_engine(buckets=(2,), model_parallel=2)
+        assert eng.mesh is not None and eng.mesh.shape["model"] == 2
+        img = rng.random((2, 32, 32, 3), dtype=np.float32)
+        np.testing.assert_allclose(eng.reconstruct(img, seed=7),
+                                   engine.reconstruct(img, seed=7), atol=2e-5)
+
     def test_buckets_round_up_to_data_axis(self, rng):
         eng = make_engine(buckets=(1, 4), num_devices=2)
         assert eng.buckets == (2, 4)
