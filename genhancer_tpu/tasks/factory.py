@@ -63,19 +63,8 @@ def _lora_kwargs(cfg, tower: str) -> dict:
                 lora_dropout=float(lc.get("lora_dropout", 0.0)))
 
 
-def build_task(cfg, key: Optional[jax.Array] = None):
-    """Returns (spec, modules_loader_fn, loader, make_train_step, ckpt_kind).
-
-    ``modules_loader_fn(key)`` -> (tower_params, tower_cfg, vae_params) so the
-    trainer controls when heavy weights load.
-    """
-    key = key if key is not None else jax.random.key(int(cfg.get("seed", 0)))
-    task: str = cfg["task"]
-    tower: str = cfg.get("tower", "openai_clip")
-    cc = cfg.get("clip_config", {}) or {}
+def _check_precomputed(cfg, task: str) -> None:
     dc = cfg.get("data_config", {}) or {}
-    img_size = int(dc.get("img_size", 224))
-    clip_image_size = int(cc.get("clip_image_size", img_size))
     if (dc.get("precomputed") and dc.get("precomputed") != "latents"
             and not task.endswith("stage1")):
         # fail before building any model: stage-2 trains the tower (LoRA),
@@ -89,15 +78,33 @@ def build_task(cfg, key: Optional[jax.Array] = None):
             "be computed live.  Use precomputed: 'latents' with a "
             "--mode latents cache to skip just the frozen VAE")
 
-    kind, tower_cfg = registry.tower_family_and_config(
-        tower, clip_image_size, cc.get("clip_type"))
 
+def build_spec(cfg, tower_cfg=None, vae_cfg=None):
+    """(spec, tower_kind, ckpt_kind) — the config -> TaskSpec mapping WITHOUT
+    loading weights or touching data directories.  ``genhancer-plan`` builds
+    on this for shape-only memory/parallelism planning; ``build_task``
+    composes it with weight loading and the data loader.
+
+    ``tower_cfg``/``vae_cfg``: registry.load_tower may override the named
+    variant's config with a local HF dir's config.json (and tests patch
+    registry.build_vae to tiny configs) — build_task passes both in for
+    exact parity; standalone callers get the named registry variants."""
+    task: str = cfg["task"]
+    tower: str = cfg.get("tower", "openai_clip")
+    cc = cfg.get("clip_config", {}) or {}
+    dc = cfg.get("data_config", {}) or {}
+    img_size = int(dc.get("img_size", 224))
+    clip_image_size = int(cc.get("clip_image_size", img_size))
+    _check_precomputed(cfg, task)
+
+    kind, reg_tower_cfg = registry.tower_family_and_config(
+        tower, clip_image_size, cc.get("clip_type"))
+    if tower_cfg is None:
+        tower_cfg = reg_tower_cfg
     dit_cfg = registry.build_dit_config(cfg.get("model_name", "flux-dev"))
-    vae_params, vae_cfg = registry.build_vae(cfg.get("model_name", "flux-dev"),
-                                             cfg.get("ae_path"),
-                                             jax.random.fold_in(key, 1))
-    tower_params, tower_cfg = registry.load_tower(
-        kind, tower_cfg, cc.get("model_dir"), jax.random.fold_in(key, 2))
+    if vae_cfg is None:
+        from ..models.vae import VAE_CONFIGS
+        vae_cfg = VAE_CONFIGS[cfg.get("model_name", "flux-dev")]
 
     compute_dtype = (jnp.bfloat16 if cfg.get("mixed_precision", "bf16") == "bf16"
                      else jnp.float32)
@@ -146,18 +153,11 @@ def build_task(cfg, key: Optional[jax.Array] = None):
                   # params; the task opens the attention activation anchor
                   fsdp=bool(cfg.get("fsdp", False)))
 
-    data_kwargs = dict(dc)
-    data_kwargs.pop("img_size", None)
-    # per-host shard splitting (webdataset split_by_node equivalent, §5.8)
-    data_kwargs.setdefault("node_index", jax.process_index())
-    data_kwargs.setdefault("node_count", jax.process_count())
-
     if task.startswith("image_"):
         stage = task[len("image_"):]
-        spec = image_task.TaskSpec(stage=stage, **common, **_lora_kwargs(cfg, tower))
-        loader = cc3m_data.loader(img_size=img_size, **data_kwargs)
-        return (spec, (tower_params, vae_params), loader,
-                image_task.make_train_step, image_task.create_task_state, "image")
+        spec = image_task.TaskSpec(stage=stage, **common,
+                                   **_lora_kwargs(cfg, tower))
+        return spec, kind, "image"
 
     family, stage = task.rsplit("_stage", 1)
     mode = _VIDEO_MODE[family]
@@ -194,14 +194,51 @@ def build_task(cfg, key: Optional[jax.Array] = None):
     spec = video_task.VideoTaskSpec(
         mode=mode, stage=f"stage{stage}", adapter_in_dim=adapter_in,
         **common, **_lora_kwargs(cfg, tower))
+    return spec, kind, "video"
+
+
+def build_task(cfg, key: Optional[jax.Array] = None):
+    """Returns (spec, (tower_params, vae_params), loader, make_train_step,
+    create_task_state, ckpt_kind) — build_spec plus weights and the data
+    loader."""
+    key = key if key is not None else jax.random.key(int(cfg.get("seed", 0)))
+    task: str = cfg["task"]
+    cc = cfg.get("clip_config", {}) or {}
+    dc = cfg.get("data_config", {}) or {}
+    img_size = int(dc.get("img_size", 224))
+    clip_image_size = int(cc.get("clip_image_size", img_size))
+    _check_precomputed(cfg, task)   # fail before building any model
+
+    kind, tower_cfg = registry.tower_family_and_config(
+        cfg.get("tower", "openai_clip"), clip_image_size, cc.get("clip_type"))
+    vae_params, vae_cfg = registry.build_vae(cfg.get("model_name", "flux-dev"),
+                                             cfg.get("ae_path"),
+                                             jax.random.fold_in(key, 1))
+    tower_params, tower_cfg = registry.load_tower(
+        kind, tower_cfg, cc.get("model_dir"), jax.random.fold_in(key, 2))
+    spec, kind, ckpt_kind = build_spec(cfg, tower_cfg=tower_cfg,
+                                       vae_cfg=vae_cfg)
+
+    data_kwargs = dict(dc)
+    data_kwargs.pop("img_size", None)
+    # per-host shard splitting (webdataset split_by_node equivalent, §5.8)
+    data_kwargs.setdefault("node_index", jax.process_index())
+    data_kwargs.setdefault("node_count", jax.process_count())
+
+    if ckpt_kind == "image":
+        loader = cc3m_data.loader(img_size=img_size, **data_kwargs)
+        return (spec, (tower_params, vae_params), loader,
+                image_task.make_train_step, image_task.create_task_state,
+                "image")
+
     loader_kwargs = dict(data_kwargs)
     loader_kwargs.pop("return_mode", None)
     for k in ("window_cond", "window_stride", "max_windows_per_video"):
         if k in cfg:
             loader_kwargs[k] = cfg[k]
-    if "max_frames_per_video" in dc and mode != "sliding":
+    if "max_frames_per_video" in dc and spec.mode != "sliding":
         loader_kwargs.pop("max_frames_per_video", None)
-    loader = video_data.loader(mode=_LOADER_MODE[mode], img_size=img_size,
-                               **loader_kwargs)
+    loader = video_data.loader(mode=_LOADER_MODE[spec.mode],
+                               img_size=img_size, **loader_kwargs)
     return (spec, (tower_params, vae_params), loader,
             video_task.make_train_step, video_task.create_task_state, "video")
