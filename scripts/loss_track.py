@@ -32,12 +32,15 @@ def main():
                     help="distinct synthetic batches cycled")
     ap.add_argument("--modes", type=str, default="none,int8,int8_full")
     ap.add_argument("--stage", type=str, default="stage1",
-                    choices=["stage1", "stage2_only"],
+                    choices=["stage1", "stage2_only", "stage2_all"],
                     help="stage2_only: LoRA-over-frozen-base trajectories — "
                          "mode 'int8' = the QLoRA config (static int8 tower "
                          "base + frozen int8 DiT); convergence evidence that "
                          "the ~0.2% base-quant error does not disturb LoRA "
-                         "training at CLIP-L scale")
+                         "training at CLIP-L scale.  stage2_all: tower LoRA "
+                         "+ trainable DiT — mode 'int8_full' = cached "
+                         "SwitchBack via the fused optimizer (the measured "
+                         "-6%% step) + QLoRA tower base")
     args = ap.parse_args()
 
     from genhancer_tpu.models import dit as dit_m, vae as vae_m
@@ -85,6 +88,20 @@ def main():
                 tower_quant="int8" if q8 else "none",
                 dit_quant="int8" if q8 else "none",
                 vae_quant="int8" if q8 else "none")
+        elif args.stage == "stage2_all":
+            # tower LoRA + trainable DiT: cached SwitchBack on the DiT (the
+            # optimizer-fused weight cache) + QLoRA int8 tower base
+            optimizer = optim.make_optimizer(
+                Config(dict(TRAIN_DEFAULTS)),
+                fused="pallas" if q8 else False, emit_quant=q8)
+            spec = image_task.TaskSpec(
+                stage="stage2_all", tower_kind="clip", img_size=args.img,
+                clip_image_size=224, dit_cfg=dit_cfg, vae_cfg=vae_cfg,
+                tower_cfg=tower_cfg, clip_dim=768, t5_dim=4096,
+                lora_dropout=0.1, compute_dtype=jnp.bfloat16,
+                dit_param_dtype=jnp.bfloat16, vae_dtype=jnp.bfloat16,
+                tower_quant="int8" if q8 else "none",
+                dit_quant=mode if q8 else "none", dit_quant_cache=q8)
         else:
             optimizer = optim.make_optimizer(
                 Config(dict(TRAIN_DEFAULTS)),

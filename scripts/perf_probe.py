@@ -343,7 +343,16 @@ def main():
                                 dit_quant=(args.dit_quant
                                            if stage == "stage2_all"
                                            else ("int8" if args.dit_quant
-                                                 != "none" else "none")))
+                                                 != "none" else "none")),
+                                # stage2_all trains the DiT, so the
+                                # optimizer-fused int8 weight cache (the
+                                # stage-1 2x enabler) applies there too
+                                dit_quant_cache=(
+                                    stage == "stage2_all"
+                                    and args.optimizer == "pallas"
+                                    and args.quant_cache != "off"
+                                    and args.dit_quant in
+                                    ("int8", "int8_dw", "int8_full")))
             step = image_task.make_train_step(spec_s2, optimizer)
             st = image_task.create_task_state(jax.random.key(0), spec_s2,
                                               optimizer)

@@ -135,9 +135,33 @@ def main():
         assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
         assert np.array_equal(fetch(a), fetch(b)), "orbax opt_state mismatch"
 
+    # FSDP / ZeRO-3 under the SAME multi-process topology: every param leaf
+    # sharded over the (cross-host) data axis, moments placed like params —
+    # losses must match the replicated run's first two steps exactly
+    # (parallel/fsdp.py; min_size=0 so the tiny test leaves actually shard)
+    import dataclasses
+    from genhancer_tpu.parallel import fsdp as fsdp_m
+    from genhancer_tpu.parallel import tp as tp_m
+    spec_f = dataclasses.replace(spec, fsdp=True)
+    st = image_task.create_task_state(jax.random.key(0), spec_f, optimizer)
+    st = mesh_m.replicate(st, mesh)
+    trainable, placements = fsdp_m.shard_params_fsdp(st.trainable, mesh,
+                                                     min_size=0)
+    frozen, _ = fsdp_m.shard_params_fsdp(st.frozen, mesh, min_size=0)
+    st = st.replace(trainable=trainable, frozen=frozen,
+                    opt_state=tp_m.shard_like_params(st.opt_state, placements,
+                                                     mesh))
+    step_f = image_task.make_train_step(spec_f, optimizer, mesh=mesh)
+    fsdp_losses = []
+    for i in range(2):
+        batch = mesh_m.shard_batch({"image": local}, mesh)
+        st, metrics = step_f(st, batch, jax.random.key(i))
+        fsdp_losses.append(float(metrics["loss"]))
+
     with open(os.path.join(outdir, f"result.{nprocs}proc.{proc_id}.json"), "w") as f:
-        json.dump({"losses": losses, "step": int(fresh.step)}, f)
-    print("OK", proc_id, losses)
+        json.dump({"losses": losses, "step": int(fresh.step),
+                   "fsdp_losses": fsdp_losses}, f)
+    print("OK", proc_id, losses, fsdp_losses)
 
 
 if __name__ == "__main__":

@@ -349,8 +349,12 @@ class TestCachedSwitchback:
             np.testing.assert_allclose(np.asarray(qcache[k][1]),
                                        np.asarray(ws_ref[:, 0]), rtol=1e-7)
 
-    @pytest.mark.parametrize("dit_quant", ["int8", "int8_full"])
-    def test_step_with_cache_matches_fresh_quant_step(self, dit_quant):
+    @pytest.mark.parametrize("dit_quant,stage", [
+        ("int8", "stage1"), ("int8_full", "stage1"),
+        # stage2_all trains the DiT too, so the optimizer-emitted cache
+        # applies there (the measured -6% step, configs/tpu_fast_stage2_all)
+        ("int8_full", "stage2_all")])
+    def test_step_with_cache_matches_fresh_quant_step(self, dit_quant, stage):
         """End-to-end: N steps with the state-threaded cache == N steps with
         in-forward quantization (the pre-cache implementation)."""
         from genhancer_tpu.models import dit as dit_m, vae as vae_m
@@ -377,9 +381,10 @@ class TestCachedSwitchback:
                                        max_position_embeddings=8),
             projection_dim=24)
         spec = image_task.TaskSpec(
-            stage="stage1", tower_kind="clip", img_size=32, clip_image_size=28,
+            stage=stage, tower_kind="clip", img_size=32, clip_image_size=28,
             dit_cfg=dit_cfg, vae_cfg=vae_cfg, tower_cfg=tower_cfg,
-            clip_dim=24, t5_dim=32, compute_dtype=jnp.float32,
+            clip_dim=24, t5_dim=32, lora_r=2,
+            lora_targets=("q_proj", "v_proj"), compute_dtype=jnp.float32,
             dit_param_dtype=jnp.float32, dit_quant=dit_quant,
             dit_quant_cache=True)
         opt = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))

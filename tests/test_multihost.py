@@ -23,7 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run(nprocs: int, outdir: str, timeout: int = 600):
+def _run(nprocs: int, outdir: str, timeout: int = 1500):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -54,3 +54,12 @@ def test_two_process_matches_single_process(tmp_path):
     np.testing.assert_allclose(double[0]["losses"], single[0]["losses"],
                                rtol=1e-5)
     assert double[0]["step"] == single[0]["step"] == 3
+
+    # FSDP segment: params sharded over the cross-host data axis must
+    # reproduce the replicated run's losses (same init/batch/keys)
+    np.testing.assert_allclose(double[0]["fsdp_losses"],
+                               double[1]["fsdp_losses"], rtol=1e-6)
+    np.testing.assert_allclose(double[0]["fsdp_losses"],
+                               single[0]["fsdp_losses"], rtol=1e-5)
+    np.testing.assert_allclose(double[0]["fsdp_losses"],
+                               double[0]["losses"][:2], rtol=1e-5)
