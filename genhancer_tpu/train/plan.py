@@ -123,6 +123,19 @@ def _activation_bytes(spec, cfg, dp: int, sp: int) -> Tuple[int, str]:
     note = (f"~{live} live tensors/block x {blocks} blocks x "
             f"{int(t_per_dev)} tokens/device x {width} wide "
             f"({'remat' if spec.remat else 'no remat'}; heuristic +/-2x)")
+    # stage-2 differentiates THROUGH the tower (LoRA): its per-layer
+    # residuals dominate for multi-frame video (B x n_cond x 577 tokens
+    # through 24 CLIP-L layers) — stage-1's frozen tower keeps nothing
+    # (no trainable grads flow through it).  ~10 width-units live per
+    # layer (qkv 3 + attn 2 + 4x-wide MLP intermediate + norms).
+    if spec.stage != "stage1" and hasattr(spec.tower_cfg, "vision"):
+        v = spec.tower_cfg.vision
+        t_tok = (bs / dp) * n_cond * ((v.image_size // v.patch_size) ** 2 + 1)
+        t_est = int(t_tok * v.hidden_size * v.num_layers * 10 * itemsize)
+        est += t_est
+        note += (f" + tower-under-autodiff ~{t_est / GiB:.2f} GiB "
+                 f"({int(t_tok)} tok x {v.num_layers} layers x "
+                 f"{v.hidden_size} wide)")
     return est, note
 
 
@@ -187,6 +200,8 @@ def plan(cfg, num_devices: Optional[int] = None,
                                dict(tp=tp, fsdp=True, zero1=True, remat=True)))
         for name, kw in ladder:
             e = entry(name, **kw)
+            if abs(e["total_gib"] - candidates[-1]["total_gib"]) < 1e-9:
+                continue   # knob is a no-op here (e.g. dp=1, already-remat)
             candidates.append(e)
             if e["fits"]:
                 break
