@@ -189,7 +189,13 @@ def build_spec(cfg, tower_cfg=None, vae_cfg=None):
         pp = int(cfg.get("pipeline_parallel", 1) or 1)
         n_data = max(1, n_dev // (tp * sp * pp))
         per_dev_tokens = (bs * jax.process_count() / n_data) * (seq / sp)
-        if seq >= 1024 and per_dev_tokens > 8192:
+        # stage-2 differentiates THROUGH the tower: its per-layer residuals
+        # (24 CLIP-L layers on n_cond x 577 tokens) roughly double the
+        # per-token activation mass, so the no-remat budget halves.
+        # Measured @336 middle stage2_all B=4 (6372 tokens): no-remat OOMs
+        # in bf16 (15.99 G) AND int8 (17.9 G); remat fits at 430 ms.
+        threshold = 8192 if stage == "1" else 4096
+        if seq >= 1024 and per_dev_tokens > threshold:
             common = dict(common, remat=True)
     spec = video_task.VideoTaskSpec(
         mode=mode, stage=f"stage{stage}", adapter_in_dim=adapter_in,

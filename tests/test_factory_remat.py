@@ -50,9 +50,9 @@ def patched(monkeypatch):
                         lambda *a, **kw: "loader-stub")
 
 
-def _build(bs, **cfg_extra):
+def _build(bs, task="video_sliding_stage2_all", **cfg_extra):
     cfg = Config(dict(TRAIN_DEFAULTS))
-    cfg["task"] = "video_sliding_stage2_all"
+    cfg["task"] = task
     cfg["tower"] = "openai_clip"
     cfg["clip_config"] = Config({"clip_image_size": IMG})
     cfg["data_config"] = Config({"video_dir": "/nonexistent",
@@ -75,8 +75,19 @@ class TestAutoRematGate:
         assert _build(8, num_devices=8).remat is False
 
     def test_sequence_parallel_divides_footprint(self, patched):
-        # dp1 x sp2 over 2 devices: 8 x 1764 / 2 = 7056 <= 8192 -> no remat
-        assert _build(8, num_devices=2, sequence_parallel=2).remat is False
+        # dp1 x sp4 over 4 devices: 8 x 1764 / 4 = 3528 <= 4096 (the
+        # stage-2 threshold) -> no remat
+        assert _build(8, num_devices=4, sequence_parallel=4).remat is False
+
+    def test_stage2_threshold_halves(self, patched):
+        # stage-2 differentiates through the tower, so the no-remat budget
+        # halves (measured: middle @336 B=4 = 6372 tokens OOMs no-remat in
+        # bf16 AND int8).  4 x 1764 = 7056: stage-1 (<= 8192) stays
+        # remat-free, stage-2 (> 4096) remats.
+        assert _build(4, task="video_sliding_stage1",
+                      num_devices=1).remat is False
+        assert _build(4, task="video_sliding_stage2_all",
+                      num_devices=1).remat is True
 
     def test_explicit_config_wins(self, patched):
         assert _build(8, num_devices=1, remat=False).remat is False
