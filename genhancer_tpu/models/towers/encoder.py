@@ -14,6 +14,8 @@ to trade parity for speed in stage-2 training.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from dataclasses import dataclass
 from typing import Optional
 
@@ -21,6 +23,27 @@ import jax
 import jax.numpy as jnp
 
 from ...core import nn
+
+# Trace-time tower-remat scope (the int8_training_ctx / ring_scope pattern):
+# stage-2 differentiates THROUGH the tower, and for multi-frame video at
+# 336px its per-layer residuals dominate activation HBM (planner
+# "tower-under-autodiff" term; video middle @336 B=8 OOMs one chip in any
+# dtype without this).  Inside the scope every encoder layer runs under
+# ``jax.checkpoint``: only the layer-boundary residual survives to the
+# backward, the rest is recomputed.  Opened by the task loss_fn
+# (tasks/image.py / tasks/video.py) when ``spec.tower_remat`` — never at
+# inference, where nothing is saved in the first place.
+_TOWER_REMAT: contextvars.ContextVar = contextvars.ContextVar(
+    "tower_remat", default=False)
+
+
+@contextlib.contextmanager
+def tower_remat_scope(enable: bool = True):
+    tok = _TOWER_REMAT.set(bool(enable))
+    try:
+        yield
+    finally:
+        _TOWER_REMAT.reset(tok)
 
 
 @dataclass(frozen=True)
@@ -124,8 +147,11 @@ def encoder_layer(p, x, cfg: EncoderConfig, mask=None):
 
 
 def encoder_forward(p, x, cfg: EncoderConfig, mask=None):
+    layer = encoder_layer
+    if _TOWER_REMAT.get():
+        layer = jax.checkpoint(encoder_layer, static_argnums=(2,))
     for lp in p["layers"]:
-        x = encoder_layer(lp, x, cfg, mask)
+        x = layer(lp, x, cfg, mask)
     return x
 
 

@@ -151,7 +151,10 @@ def build_spec(cfg, tower_cfg=None, vae_cfg=None):
                   pipeline_microbatches=int(cfg.get("pipeline_microbatches", 0) or 0),
                   # FSDP/ZeRO-3 (parallel/fsdp.py): the trainer shards the
                   # params; the task opens the attention activation anchor
-                  fsdp=bool(cfg.get("fsdp", False)))
+                  fsdp=bool(cfg.get("fsdp", False)),
+                  # jax.checkpoint each tower encoder layer (stage-2 only;
+                  # auto-gated below for video stage-2 — see the remat gate)
+                  tower_remat=bool(cfg.get("tower_remat") or False))
 
     if task.startswith("image_"):
         stage = task[len("image_"):]
@@ -177,17 +180,17 @@ def build_spec(cfg, tower_cfg=None, vae_cfg=None):
     # PER-HOST (shard_batch assembles bs x process_count rows over the data
     # axis) and ring SP shards the sequence, so multi-chip DP/SP runs whose
     # per-device footprint fits keep the measured no-remat win.
+    n_cond = video_task.VIDEO_MODES[mode]["n_cond"]
+    patch = (tower_cfg.vision.patch_size if hasattr(tower_cfg, "vision") else 14)
+    bs = int(cfg.get_path("data_config.train_batch_size",
+                          cfg.get("train_batch_size", 8)))
+    n_dev = int(cfg.get("num_devices") or len(jax.devices()))
+    tp = int(cfg.get("model_parallel", 1) or 1)
+    sp = int(cfg.get("sequence_parallel", 1) or 1)
+    pp = int(cfg.get("pipeline_parallel", 1) or 1)
+    n_data = max(1, n_dev // (tp * sp * pp))
     if cfg.get("remat") is None:
-        n_cond = video_task.VIDEO_MODES[mode]["n_cond"]
-        patch = (tower_cfg.vision.patch_size if hasattr(tower_cfg, "vision") else 14)
         seq = n_cond * (clip_image_size // patch) ** 2 + (img_size // 16) ** 2
-        bs = int(cfg.get_path("data_config.train_batch_size",
-                              cfg.get("train_batch_size", 8)))
-        n_dev = int(cfg.get("num_devices") or len(jax.devices()))
-        tp = int(cfg.get("model_parallel", 1) or 1)
-        sp = int(cfg.get("sequence_parallel", 1) or 1)
-        pp = int(cfg.get("pipeline_parallel", 1) or 1)
-        n_data = max(1, n_dev // (tp * sp * pp))
         per_dev_tokens = (bs * jax.process_count() / n_data) * (seq / sp)
         # stage-2 differentiates THROUGH the tower: its per-layer residuals
         # (24 CLIP-L layers on n_cond x 577 tokens) roughly double the
@@ -197,6 +200,18 @@ def build_spec(cfg, tower_cfg=None, vae_cfg=None):
         threshold = 8192 if stage == "1" else 4096
         if seq >= 1024 and per_dev_tokens > threshold:
             common = dict(common, remat=True)
+    if cfg.get("tower_remat") is None and stage != "1":
+        # tower-under-autodiff activations are NOT covered by the DiT remat
+        # gate above: 24 CLIP-L layers each keep ~10 live [B*n_cond, 577, h]
+        # tensors to the backward.  Measured @336 middle stage2_all on one
+        # v5e: B=4 (4616 tower tokens) fits without this at 430 ms; B=8
+        # (9232) OOMs in any dtype even with DiT remat on.  Threshold 6144
+        # sits between the two; remat drops the live count to the layer
+        # residual (train/plan.py tower term).
+        vis_tok = (clip_image_size // patch) ** 2 + 1
+        tower_tokens = (bs * jax.process_count() / n_data) * n_cond * vis_tok
+        if tower_tokens > 6144:
+            common = dict(common, tower_remat=True)
     spec = video_task.VideoTaskSpec(
         mode=mode, stage=f"stage{stage}", adapter_in_dim=adapter_in,
         **common, **_lora_kwargs(cfg, tower))

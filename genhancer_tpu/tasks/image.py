@@ -56,6 +56,11 @@ class TaskSpec:
     # REMAT_POLICIES): "full" recomputes everything, "save_attn" stores each
     # block's attention output, "dots" saves all non-batch matmul outputs
     remat_policy: str = "full"
+    # jax.checkpoint each TOWER encoder layer (stage-2 only: stage-1's
+    # frozen tower saves nothing).  models/towers/encoder.tower_remat_scope;
+    # auto-gated by the factory for multi-frame video stage-2 @336 where
+    # tower-under-autodiff activations OOM one chip (train/plan.py term)
+    tower_remat: bool = False
     compute_dtype: object = jnp.bfloat16
     # Reference stores DiT params in bf16 (train_SigLIP_stage1.py:132) and
     # runs AdamW directly on them; bf16 halves HBM for params+moments+grads.
@@ -230,7 +235,9 @@ def make_loss_fn(spec: TaskSpec, mesh=None):
             # LoRA dropout (peft parity, train_SigLIP_stage2_all.py:134-143)
             # applies only to LoRA-wrapped linears, i.e. the stage-2 tower.
             from ..core.nn import lora_dropout_ctx
-            with lora_dropout_ctx(k_drop, spec.lora_dropout):
+            from ..models.towers.encoder import tower_remat_scope
+            with lora_dropout_ctx(k_drop, spec.lora_dropout), \
+                 tower_remat_scope(spec.tower_remat):
                 cond = image_conditioning(spec.tower_kind, params["clip"],
                                           batch["image"], spec.tower_cfg,
                                           spec.latent_hw,

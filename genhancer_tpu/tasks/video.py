@@ -72,6 +72,7 @@ class VideoTaskSpec:
     lora_dropout: float = 0.0          # reference stage-2 configs: 0.1
     remat: bool = False
     remat_policy: str = "full"           # see image.TaskSpec.remat_policy
+    tower_remat: bool = False            # see image.TaskSpec.tower_remat
     compute_dtype: object = jnp.bfloat16
     dit_param_dtype: object = jnp.bfloat16   # reference parity (bf16 DiT params)
     vae_dtype: object = jnp.float32          # fp32 = reference parity; bf16 = faster
@@ -212,7 +213,9 @@ def make_loss_fn(spec: VideoTaskSpec, mesh=None):
                 tower_in = jax.lax.stop_gradient(tower_in)  # torch.no_grad parity
             # LoRA dropout applies only to LoRA-wrapped linears (stage-2 tower)
             from ..core.nn import lora_dropout_ctx
-            with lora_dropout_ctx(k_drop, spec.lora_dropout):
+            from ..models.towers.encoder import tower_remat_scope
+            with lora_dropout_ctx(k_drop, spec.lora_dropout), \
+                 tower_remat_scope(spec.tower_remat):
                 vecs_flat, patches_flat = tower_features(spec.tower_kind, tower_in,
                                                          px, spec.tower_cfg)
             lp, dt = patches_flat.shape[1], patches_flat.shape[2]

@@ -80,6 +80,7 @@ TRAIN_DEFAULTS = {
     "num_train_epochs": 1,
     "seed": 0,
     "remat": None,     # None = auto (enabled for long-sequence video modes)
+    "tower_remat": None,  # None = auto (video stage-2 tower-under-autodiff)
     "num_devices": None,          # None -> all local devices on the data axis
 }
 

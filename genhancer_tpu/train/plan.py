@@ -130,12 +130,14 @@ def _activation_bytes(spec, cfg, dp: int, sp: int) -> Tuple[int, str]:
     # layer (qkv 3 + attn 2 + 4x-wide MLP intermediate + norms).
     if spec.stage != "stage1" and hasattr(spec.tower_cfg, "vision"):
         v = spec.tower_cfg.vision
+        t_live = 2 if getattr(spec, "tower_remat", False) else 10
         t_tok = (bs / dp) * n_cond * ((v.image_size // v.patch_size) ** 2 + 1)
-        t_est = int(t_tok * v.hidden_size * v.num_layers * 10 * itemsize)
+        t_est = int(t_tok * v.hidden_size * v.num_layers * t_live * itemsize)
         est += t_est
         note += (f" + tower-under-autodiff ~{t_est / GiB:.2f} GiB "
                  f"({int(t_tok)} tok x {v.num_layers} layers x "
-                 f"{v.hidden_size} wide)")
+                 f"{v.hidden_size} wide"
+                 f"{'; tower_remat' if t_live == 2 else ''})")
     return est, note
 
 
@@ -158,10 +160,14 @@ def plan(cfg, num_devices: Optional[int] = None,
     frozen = flatten_params(state.frozen)
 
     def entry(name: str, *, tp: int, fsdp: bool, zero1: bool,
-              remat: Optional[bool] = None) -> Dict:
+              remat: Optional[bool] = None,
+              tower_remat: Optional[bool] = None) -> Dict:
         dp = max(1, n // (tp * sp0 * pp0))
         import dataclasses
-        sp_eff = spec if remat is None else dataclasses.replace(spec, remat=remat)
+        repl = {k: v for k, v in
+                dict(remat=remat, tower_remat=tower_remat).items()
+                if v is not None}
+        sp_eff = dataclasses.replace(spec, **repl) if repl else spec
         t_b = _params_bytes(trainable, dp, tp, fsdp, fsdp_min)
         f_b = _params_bytes(frozen, dp, tp, fsdp, fsdp_min)
         m_b = _moments_bytes(state.opt_state, dp, tp, fsdp, fsdp_min, zero1)
@@ -175,7 +181,9 @@ def plan(cfg, num_devices: Optional[int] = None,
                 "total_gib": total / GiB, "fits": total / GiB <= hbm_gb,
                 "knobs": {"model_parallel": tp, "fsdp": fsdp,
                           "shard_optimizer_state": zero1,
-                          **({} if remat is None else {"remat": remat})}}
+                          **({} if remat is None else {"remat": remat}),
+                          **({} if tower_remat is None
+                             else {"tower_remat": tower_remat})}}
 
     configured = entry("as configured", tp=tp0,
                        fsdp=bool(cfg.get("fsdp", False)),
@@ -184,20 +192,31 @@ def plan(cfg, num_devices: Optional[int] = None,
     # escalation ladder: cheapest-collective knob first (docs/SCALING.md)
     candidates: List[Dict] = [configured]
     if not configured["fits"]:
+        # tower remat only exists where a tower sits under autodiff
+        t_r = (True if (spec.stage != "stage1"
+                        and hasattr(spec.tower_cfg, "vision")) else None)
         ladder = [("+ shard_optimizer_state (ZeRO-1)",
                    dict(tp=tp0, fsdp=False, zero1=True)),
-                  ("+ remat", dict(tp=tp0, fsdp=False, zero1=True, remat=True)),
-                  ("+ fsdp (ZeRO-3)", dict(tp=tp0, fsdp=True, zero1=True)),
-                  ("+ fsdp + remat",
-                   dict(tp=tp0, fsdp=True, zero1=True, remat=True))]
+                  ("+ remat", dict(tp=tp0, fsdp=False, zero1=True, remat=True))]
+        if t_r:
+            ladder.append(("+ remat + tower_remat",
+                           dict(tp=tp0, fsdp=False, zero1=True, remat=True,
+                                tower_remat=True)))
+        t_tag = " + tower_remat" if t_r else ""
+        ladder += [(f"+ fsdp (ZeRO-3){t_tag}",
+                    dict(tp=tp0, fsdp=True, zero1=True, tower_remat=t_r)),
+                   (f"+ fsdp + remat{t_tag}",
+                    dict(tp=tp0, fsdp=True, zero1=True, remat=True,
+                         tower_remat=t_r))]
         for tp in (2, 4, 8):
             if tp > tp0 and n % (tp * sp0 * pp0) == 0:
                 try:
                     tp_m.validate_tp(spec.dit_cfg, tp)
                 except ValueError:
                     continue
-                ladder.append((f"+ fsdp + remat + model_parallel {tp}",
-                               dict(tp=tp, fsdp=True, zero1=True, remat=True)))
+                ladder.append((f"+ fsdp + remat{t_tag} + model_parallel {tp}",
+                               dict(tp=tp, fsdp=True, zero1=True, remat=True,
+                                    tower_remat=t_r)))
         for name, kw in ladder:
             e = entry(name, **kw)
             if abs(e["total_gib"] - candidates[-1]["total_gib"]) < 1e-9:

@@ -91,3 +91,29 @@ class TestAutoRematGate:
 
     def test_explicit_config_wins(self, patched):
         assert _build(8, num_devices=1, remat=False).remat is False
+
+
+class TestTowerRematGate:
+    # sliding n_cond=3, patch 16 @336 -> 442 vision tokens per frame;
+    # tower tokens per device = bs * 3 * 442 / n_data vs threshold 6144
+
+    def test_oversized_stage2_gets_tower_remat(self, patched):
+        # 8 x 3 x 442 = 10608 > 6144
+        assert _build(8, num_devices=1).tower_remat is True
+
+    def test_small_batch_stays_off(self, patched):
+        # 4 x 3 x 442 = 5304 <= 6144 (the measured B=4 @336 fit)
+        assert _build(4, num_devices=1).tower_remat is False
+
+    def test_dp_share_counts(self, patched):
+        # same global batch over 8 data shards: 1326 tokens/device
+        assert _build(8, num_devices=8).tower_remat is False
+
+    def test_stage1_never(self, patched):
+        # stage-1's frozen tower saves nothing — remat would be pure waste
+        assert _build(8, task="video_sliding_stage1",
+                      num_devices=1).tower_remat is False
+
+    def test_explicit_config_wins(self, patched):
+        assert _build(8, num_devices=1, tower_remat=False).tower_remat is False
+        assert _build(1, num_devices=1, tower_remat=True).tower_remat is True

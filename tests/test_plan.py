@@ -95,6 +95,26 @@ class TestPlan:
         if report["candidates"][-1]["fits"]:
             assert report["recommendation"] == report["candidates"][-1]["name"]
 
+    def test_tower_remat_shrinks_stage2_activations(self):
+        import dataclasses
+        cfg = debug_cfg(task="video_middle_stage2_all")
+        spec, _, _ = plan_m.shape_state(cfg)
+        a0, n0 = plan_m._activation_bytes(spec, cfg, dp=1, sp=1)
+        a1, n1 = plan_m._activation_bytes(
+            dataclasses.replace(spec, tower_remat=True), cfg, dp=1, sp=1)
+        assert "tower-under-autodiff" in n0
+        assert a1 < a0 and "tower_remat" in n1
+
+    def test_stage2_ladder_offers_tower_remat(self):
+        # an impossible budget exhausts the whole ladder: the stage-2 rung
+        # list must include the tower_remat escalation (and stage-1 must not)
+        cfg = debug_cfg(task="video_middle_stage2_all", fsdp_min_size=0)
+        rep = plan_m.plan(cfg, num_devices=8, hbm_gb=1e-6)
+        assert any("tower_remat" in c["name"] for c in rep["candidates"])
+        cfg1 = debug_cfg(task="video_middle_stage1", fsdp_min_size=0)
+        rep1 = plan_m.plan(cfg1, num_devices=8, hbm_gb=1e-6)
+        assert not any("tower_remat" in c["name"] for c in rep1["candidates"])
+
     def test_cli_json(self, capsys):
         import json
         from genhancer_tpu.cli.plan import main
