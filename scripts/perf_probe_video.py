@@ -37,6 +37,9 @@ def main():
                     help="stage2_all: tower inside autodiff with LoRA "
                          "(QLoRA int8 base when --quant != none); reference "
                          "video stage-2 schedule is batch 4 @336px")
+    ap.add_argument("--tower-remat", action="store_true",
+                    help="remat the tower encoder layers (stage-2 only "
+                         "effect; the factory auto-gate equivalent)")
     args = ap.parse_args()
     if args.stage == "stage2_all" and args.precomputed:
         ap.error("--precomputed caches tower features — stage-1 only "
@@ -62,7 +65,8 @@ def main():
                       else "full"),
         tower_quant=("int8" if q != "none" else "none"),
         vae_quant=("int8" if q != "none" else "none"), dit_quant=q,
-        dit_quant_cache=q in ("int8", "int8_full", "int8_dw"))
+        dit_quant_cache=q in ("int8", "int8_full", "int8_dw"),
+        tower_remat=args.tower_remat)
 
     q8 = q in ("int8", "int8_full", "int8_dw")
     optimizer = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)),
@@ -108,6 +112,7 @@ def main():
         "mode": args.mode, "stage": args.stage, "batch": args.batch,
         "img": args.img,
         "quant": q, "remat_policy": args.remat_policy,
+        "tower_remat": bool(args.tower_remat),
         "precomputed": bool(args.precomputed),
         "step_ms": round(ms, 2),
         "samples_per_sec": round(args.batch / ms * 1000.0, 2),
