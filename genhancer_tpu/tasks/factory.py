@@ -63,6 +63,46 @@ def _lora_kwargs(cfg, tower: str) -> dict:
                 lora_dropout=float(lc.get("lora_dropout", 0.0)))
 
 
+def validate_parallelism(cfg, dit_cfg=None) -> None:
+    """Config-time rejection of every documented-invalid parallelism
+    composition (before any weights load or mesh builds).  The same rules
+    are enforced where each mode is materialized — parallel/mesh.make_mesh
+    (pp x tp, pp x sp), parallel/fsdp.validate_fsdp (fsdp x pp/sp/pallas-opt),
+    parallel/pp.py (depth divisibility) — but those fire mid-build; this
+    front door makes `genhancer-train`/`genhancer-plan` fail in milliseconds
+    with the same message."""
+    tp = int(cfg.get("model_parallel", 1) or 1)
+    sp = int(cfg.get("sequence_parallel", 1) or 1)
+    pp = int(cfg.get("pipeline_parallel", 1) or 1)
+    fsdp = bool(cfg.get("fsdp", False))
+    if pp > 1 and (tp > 1 or sp > 1):
+        raise ValueError(
+            "pipeline_parallel composes with data parallelism only "
+            f"(got model_parallel={tp}, sequence_parallel={sp}): TP shards "
+            "the weight dims the PP stage stacking slices, and SP's ring "
+            "would nest a second shard_map inside the stage body "
+            "(parallel/pp.py 'Composition')")
+    if fsdp:
+        if pp > 1:
+            raise ValueError("fsdp does not compose with pipeline_parallel "
+                             "(stage stacking owns the param placement)")
+        if sp > 1:
+            raise ValueError("fsdp does not compose with sequence_parallel "
+                             "(the attention anchor does not cover the ring "
+                             "path); use shard_optimizer_state with SP")
+        if cfg.get("fused_optimizer") == "pallas":
+            raise ValueError(
+                "fsdp requires the default optax optimizer: the fused Pallas "
+                "AdamW would force an all-gather of each sharded param at "
+                "the update (no custom_partitioning on the kernel); drop "
+                "fused_optimizer or fsdp")
+    if pp > 1 and dit_cfg is not None and (
+            dit_cfg.depth % pp or dit_cfg.depth_single_blocks % pp):
+        raise ValueError(
+            f"pipeline_parallel={pp} must divide both depth={dit_cfg.depth} "
+            f"and depth_single_blocks={dit_cfg.depth_single_blocks}")
+
+
 def _check_precomputed(cfg, task: str) -> None:
     dc = cfg.get("data_config", {}) or {}
     if (dc.get("precomputed") and dc.get("precomputed") != "latents"
@@ -102,6 +142,7 @@ def build_spec(cfg, tower_cfg=None, vae_cfg=None):
     if tower_cfg is None:
         tower_cfg = reg_tower_cfg
     dit_cfg = registry.build_dit_config(cfg.get("model_name", "flux-dev"))
+    validate_parallelism(cfg, dit_cfg)
     if vae_cfg is None:
         from ..models.vae import VAE_CONFIGS
         vae_cfg = VAE_CONFIGS[cfg.get("model_name", "flux-dev")]

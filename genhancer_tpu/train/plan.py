@@ -203,13 +203,19 @@ def plan(cfg, num_devices: Optional[int] = None,
                            dict(tp=tp0, fsdp=False, zero1=True, remat=True,
                                 tower_remat=True)))
         t_tag = " + tower_remat" if t_r else ""
-        ladder += [(f"+ fsdp (ZeRO-3){t_tag}",
-                    dict(tp=tp0, fsdp=True, zero1=True, tower_remat=t_r)),
-                   (f"+ fsdp + remat{t_tag}",
-                    dict(tp=tp0, fsdp=True, zero1=True, remat=True,
-                         tower_remat=t_r))]
+        # fsdp rungs only where fsdp is legal (factory.validate_parallelism:
+        # no PP/SP/fused-Pallas-optimizer) — never recommend a combination
+        # the trainer would reject at config time
+        fsdp_ok = (sp0 == 1 and pp0 == 1
+                   and cfg.get("fused_optimizer") != "pallas")
+        if fsdp_ok:
+            ladder += [(f"+ fsdp (ZeRO-3){t_tag}",
+                        dict(tp=tp0, fsdp=True, zero1=True, tower_remat=t_r)),
+                       (f"+ fsdp + remat{t_tag}",
+                        dict(tp=tp0, fsdp=True, zero1=True, remat=True,
+                             tower_remat=t_r))]
         for tp in (2, 4, 8):
-            if tp > tp0 and n % (tp * sp0 * pp0) == 0:
+            if fsdp_ok and tp > tp0 and n % (tp * sp0 * pp0) == 0:
                 try:
                     tp_m.validate_tp(spec.dit_cfg, tp)
                 except ValueError:

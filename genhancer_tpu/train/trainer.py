@@ -105,6 +105,11 @@ class Trainer:
     def __init__(self, cfg, profile: bool = False):
         self.cfg = cfg
         self.profile = profile
+        # Reject invalid parallelism compositions BEFORE any jax use: backend
+        # init (axon remote attach) can take a minute, and the same checks
+        # inside make_mesh/validate_fsdp would fire only after weights load.
+        from ..tasks.factory import validate_parallelism
+        validate_parallelism(cfg)
         self.output_dir = cfg.get("output_dir", "output")
         os.makedirs(self.output_dir, exist_ok=True)
         mesh_m.maybe_initialize_distributed()
