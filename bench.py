@@ -15,17 +15,41 @@ and throughput is weight-independent):
     visit — marginally identical to inline augmentation) and the posterior
     is re-sampled per step from the cached moments, so the training
     distribution matches the inline path.  The one-time cache-build cost is
-    measured (frozen fwd ms/image) and reported with **amortized
-    accounting** over the reference image schedule (100k steps x bs16 x
-    grad-accum 2 over ~3M CC3M images, test_SigLIP_384_stage1.yaml:17-20):
-    amortized_ms_per_step = dataset_images x variants x build_ms_per_image
-    / schedule_steps.  Both the steady-state and the single-run-amortized
-    throughputs are printed; the headline `value` is the steady-state
-    number — the cache is a dataset artifact reused across the reference's
-    experiment matrix (6 image trainer configs consume the same CC3M; the
-    VAE-moment half is tower-independent and valid for every stage-1 AND
-    stage-2 run), while the single-run-amortized figure is the lower bound
-    where one cold run pays the whole build.
+    measured (frozen fwd ms/image, int8 stack, at its own best batch size)
+    and reported with **amortized accounting** over the reference image
+    schedule (100k steps x bs16 x grad-accum 2 over ~3M CC3M images,
+    test_SigLIP_384_stage1.yaml:17-20): amortized_ms_per_step =
+    dataset_images x variants x build_ms_per_image / schedule_steps.  Both
+    the steady-state and the single-run-amortized throughputs are printed;
+    the headline `value` is the steady-state number — the cache is a dataset
+    artifact reused across the reference's experiment matrix (6 image
+    trainer configs consume the same CC3M; the VAE-moment half is
+    tower-independent and valid for every stage-1 AND stage-2 run), while
+    the single-run-amortized figure is the lower bound where one cold run
+    pays the whole build.
+
+The precomputed and stage2 configurations run with **gradient
+accumulation 2** (BENCH_ACCUM) — the reference's own schedule
+(`gradient_accumulation_steps: 2`,
+train_configs/test_SigLIP_384_stage1.yaml + train_SigLIP_stage1.py:238) —
+via the same lax.scan accumulation the trainer uses
+(train/step_utils.make_accum_train_step, accumulator in param dtype =
+`grad_accum_dtype: param`, matching torch-DDP-under-bf16 grad buckets):
+per optimizer step, 2 micro fwd/bwd + ONE AdamW pass, so the
+bandwidth-bound optimizer cost amortizes over 2x images exactly as it
+does for the reference.  The inline configuration stays at accum=1
+(r1-r3 per-microbatch accounting): the full-pipeline activations
+(VAE+tower+DiT bwd) plus any grad accumulator exceed one 16 GB v5e at
+B=32 (measured 19.07 GB with an f32 accumulator) — accounting per
+micro-step is the conservative reading there (the optimizer cost is paid
+every micro-batch instead of every other).  BENCH_ACCUM=1 reproduces the
+r1-r3 accounting everywhere.
+
+A **stage2** block additionally measures the shipped stage-2_all fast path
+(configs/tpu_fast_stage2_all.yaml semantics: latents cache + tower QLoRA
+int8 + cached-SwitchBack DiT via the fused optimizer) at the reference
+stage-2 batch (B=16, train_SigLIP_stage2_all.py:134-174), so the driver
+artifact captures more than stage-1.
 
 Default configuration is the shipped TPU-fast stack: int8 frozen tower/VAE
 (weight-static/activation-dynamic, core/quant.py) and full-int8 SwitchBack
@@ -33,15 +57,15 @@ DiT training — int8 fwd + input-grad from the optimizer-maintained weight
 cache emitted by the fused Pallas AdamW (core/pallas/adamw.py), and the
 weight gradient on the int8 MXU with exact per-channel scale factoring
 (core/quant.py switchback_linear_full_cached).  Loss trajectories at this
-exact model scale track bf16 within noise over 300 steps
-(scripts/loss_track.py; tail-mean ratio 0.91x vs exact — inside the
-run-to-run band).  BENCH_QUANT=int8 falls back to bf16 dW (the
-conservative SwitchBack of arXiv:2304.13013); BENCH_QUANT=none gives the
-bf16 reference-parity path.
+exact model scale track bf16 (multi-seed noise band, scripts/loss_track.py
+--seeds 3; table in STATUS.md).  BENCH_QUANT=int8 falls back to bf16 dW
+(the conservative SwitchBack of arXiv:2304.13013); BENCH_QUANT=none gives
+the bf16 reference-parity path.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
-     "inline": {...}, "precomputed": {...}}
+     "mfu_bf16_equiv": N, "inline": {...}, "precomputed": {...},
+     "stage2": {...}}
 
 Baseline (vs_baseline denominator): an A100-80GB running the reference torch
 stack — no published numbers exist (BASELINE.md), so it is modeled: per-image
@@ -49,6 +73,12 @@ FLOPs (3x DiT fwd + CLIP fwd + VAE-encoder fwd, computed analytically from
 the exact model dims) at a uniform 30% of bf16 peak (312 TFLOPS) — the
 conservative (harder) reading of the eager-torch corridor; derivation and
 sensitivity in BASELINE.md.
+
+MFU note: ``mfu_bf16_equiv`` = analytic matmul/conv FLOPs of the measured
+step (fwd+bwd = 3x fwd for trained modules, 1x for frozen) divided by
+wall-clock x the v5e **bf16** peak (197 TFLOPS) — int8 configs can exceed
+the bf16-equivalent share of the int8 ops' speedup; it is the utilization
+story in one number, not a claim that every op ran bf16.
 
 Timing note: final losses are fetched with float() (device_get) rather than
 block_until_ready — on the axon-relayed TPU the latter returns without
@@ -71,6 +101,8 @@ REF_SCHEDULE_STEPS = 100_000
 REF_SCHEDULE_BATCH = 16
 REF_SCHEDULE_ACCUM = 2
 REF_DATASET_IMAGES = 3_000_000
+
+V5E_BF16_PEAK = 197e12   # TFLOPS, one v5e chip
 
 
 def dit_flops_per_image(seq_img: int, seq_txt: int, cfg) -> float:
@@ -143,14 +175,24 @@ def _run_steps(step, state, batch, steps, warmup=3):
     return (time.perf_counter() - t0) / steps * 1000.0   # ms/step
 
 
+def _stack_accum(batch, accum):
+    """Replicate one micro-batch onto a leading [accum] axis (throughput
+    measurement only — the trainer stacks distinct loader batches)."""
+    return {k: jnp.broadcast_to(v[None], (accum,) + v.shape) for k, v in
+            batch.items()}
+
+
 def main():
     batch = int(os.environ.get("BENCH_BS", "32"))
     img_size = int(os.environ.get("BENCH_IMG", "224"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # reference parity: gradient_accumulation_steps 2 (see module docstring)
+    accum = int(os.environ.get("BENCH_ACCUM", "2"))
     # int8_full | int8 | int8_dw | none
     quant = os.environ.get("BENCH_QUANT", "int8_full")
     variants = int(os.environ.get("BENCH_CACHE_VARIANTS", "1"))
-    modes = os.environ.get("BENCH_MODES", "inline,pre").split(",")
+    cache_bs = int(os.environ.get("BENCH_CACHE_BS", "64"))
+    modes = os.environ.get("BENCH_MODES", "inline,pre,stage2").split(",")
 
     from genhancer_tpu.models import dit as dit_m
     from genhancer_tpu.models import vae as vae_m
@@ -158,6 +200,7 @@ def main():
     from genhancer_tpu.tasks import image as image_task
     from genhancer_tpu.train import optim
     from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+    from genhancer_tpu.train.step_utils import make_accum_train_step
 
     dit_cfg = dit_m.DIT_CONFIGS["flux-dev"]
     vae_cfg = vae_m.VAE_CONFIGS["flux-dev"]
@@ -184,19 +227,40 @@ def main():
     optimizer = optim.make_optimizer(cfg, fused="pallas" if q8 else False,
                                      emit_quant=q8)
 
+    def build_step(spec, accum_eff):
+        if accum_eff > 1:
+            from genhancer_tpu.tasks.image import make_loss_fn
+            # param-dtype (bf16) accumulator: torch-DDP-bf16 bucket
+            # semantics, and the +1.7 GB f32 accumulator would not fit
+            return make_accum_train_step(make_loss_fn(spec), optimizer,
+                                         accum_eff, accum_dtype=None)
+        return image_task.make_train_step(spec, optimizer)
     rng = np.random.default_rng(0)
     out = {}
 
+    # analytic per-image FLOPs (fwd+bwd = 3x fwd for trained modules)
+    seq_img = (img_size // 16) ** 2
+    dit_f = dit_flops_per_image(seq_img, 1, dit_cfg)
+    clip_f = clip_flops_per_image((224 // 14) ** 2 + 1, 1024, 4096, 24)
+    vae_f = vae_encoder_flops_per_image(img_size)
+
     # --- inline configuration -------------------------------------------
+    # accum=1 always: the full pipeline + accumulator OOMs one 16G v5e at
+    # accum-2/B=32 (see module docstring) — per-microbatch accounting
     if "inline" in modes:
         spec = make_spec()
         state = image_task.create_task_state(jax.random.key(0), spec, optimizer)
-        step = image_task.make_train_step(spec, optimizer)
+        step = build_step(spec, 1)
         batch_data = {"image": jnp.asarray(
             rng.random((batch, img_size, img_size, 3), dtype=np.float32))}
         ms = _run_steps(step, state, batch_data, steps)
-        out["inline"] = {"ms_per_step": round(ms, 2),
-                         "img_per_sec": round(batch / ms * 1000.0, 2)}
+        ips = batch / ms * 1000.0
+        out["inline"] = {
+            "ms_per_step": round(ms, 2),
+            "img_per_sec": round(ips, 2),
+            "grad_accum": 1,
+            "mfu_bf16_equiv": round(
+                (3 * dit_f + clip_f + vae_f) * ips / V5E_BF16_PEAK, 4)}
         del state, step
 
     # --- precomputed configuration --------------------------------------
@@ -210,19 +274,26 @@ def main():
             "cls": jnp.asarray(
                 rng.normal(size=(batch, 768)).astype(np.float32)),
         }
+        if accum > 1:
+            pre_batch = _stack_accum(pre_batch, accum)
         state = image_task.create_task_state(jax.random.key(0), spec_p, optimizer)
-        step = image_task.make_train_step(spec_p, optimizer)
+        step = build_step(spec_p, accum)
         ms = _run_steps(step, state, pre_batch, steps)
+        imgs_per_step = batch * accum
         del state, step
 
-        # one-time cache-build cost: the frozen VAE+tower forward per image
+        # one-time cache-build cost: the frozen VAE+tower forward per image.
+        # init_modules applies the spec's int8 quant to the frozen trees, so
+        # the build runs the same int8 stack the inline step uses; measured
+        # at its own batch size (pure forward — no bwd residency, so bigger
+        # batches than the train step fit).
         from genhancer_tpu.data import precompute as pre_m
         modules = image_task.init_modules(jax.random.key(1), spec_p)
         frozen_fn = pre_m.make_frozen_fn(
             "clip", modules["clip"]["model"], tower_cfg, modules["vae"],
             vae_cfg, vae_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
             with_patches=False)
-        px = jnp.asarray(rng.random((batch, img_size, img_size, 3),
+        px = jnp.asarray(rng.random((cache_bs, img_size, img_size, 3),
                                     dtype=np.float32))
         o = frozen_fn(px)
         float(jnp.sum(o["cls"]).astype(jnp.float32))
@@ -231,21 +302,26 @@ def main():
         for _ in range(reps):
             o = frozen_fn(px)
         float(jnp.sum(o["cls"]).astype(jnp.float32))
-        build_ms_per_img = (time.perf_counter() - t0) / reps / batch * 1000.0
+        build_ms_per_img = (time.perf_counter() - t0) / reps / cache_bs * 1000.0
         del modules, frozen_fn
 
         # amortization over the reference schedule: the whole dataset is
         # cached once (x variants); one run consumes steps x bs x accum
         amort_ms_per_step = (REF_DATASET_IMAGES * variants * build_ms_per_img
                              / REF_SCHEDULE_STEPS)
-        # scale the per-step amortization to this bench's batch so img/s
-        # composes: one reference step consumes bs x accum images
+        # scale the per-step amortization to this bench's images/step so
+        # img/s composes; one reference step consumes bs x accum images
         ref_imgs_per_step = REF_SCHEDULE_BATCH * REF_SCHEDULE_ACCUM
-        amort_ms_at_bench_batch = amort_ms_per_step * batch / ref_imgs_per_step
+        amort_ms_at_bench_batch = (amort_ms_per_step * imgs_per_step
+                                   / ref_imgs_per_step)
+        ips = imgs_per_step / ms * 1000.0
         out["precomputed"] = {
             "ms_per_step": round(ms, 2),
-            "img_per_sec_steady": round(batch / ms * 1000.0, 2),
+            "img_per_sec_steady": round(ips, 2),
+            "mfu_bf16_equiv": round(3 * dit_f * ips / V5E_BF16_PEAK, 4),
+            "grad_accum": accum,
             "cache_build_ms_per_image": round(build_ms_per_img, 3),
+            "cache_build_batch": cache_bs,
             "cache_variants": variants,
             "amortization": {
                 "schedule": (f"{REF_SCHEDULE_STEPS} steps x bs"
@@ -255,17 +331,55 @@ def main():
                 "amortized_ms_per_step_single_run": round(
                     amort_ms_at_bench_batch, 2),
                 "img_per_sec_amortized_single_run": round(
-                    batch / (ms + amort_ms_at_bench_batch) * 1000.0, 2),
+                    imgs_per_step / (ms + amort_ms_at_bench_batch) * 1000.0, 2),
             },
             "augmentation": ("K i.i.d. RandomResizedCrop variants/image; "
                              "loader draws one per visit (marginally exact)"),
         }
 
+    # --- stage-2_all secondary block -------------------------------------
+    # the shipped fast path (configs/tpu_fast_stage2_all.yaml): latents
+    # cache + QLoRA int8 tower base + cached-SwitchBack DiT; reference
+    # stage-2 batch B=16 (train_SigLIP_stage2_all.py:134-174).  Reported so
+    # the driver artifact carries the stage-2 matrix, not just stage-1.
+    if "stage2" in modes:
+        s2_bs = int(os.environ.get("BENCH_S2_BS", "16"))
+        s2_steps = max(5, steps // 2)
+        # tower_remat: with accum=2 the live-tower bwd residuals push the
+        # step to 18.4 GB (> 15.75 GB v5e HBM); checkpointing the tower
+        # encoder layers (the r3 knob, explicit for image stage-2 —
+        # PARITY.md) trades the cheap tower re-forward for fitting the
+        # reference's accum-2 schedule on one chip
+        spec2 = make_spec(stage="stage2_all", lora_dropout=0.1,
+                          tower_remat=True)
+        h, w = spec2.latent_hw
+        zc = 2 * vae_cfg.z_channels
+        s2_batch = {
+            # latents cache: VAE skipped, tower trains live on the crop
+            "moments": jnp.asarray(
+                rng.normal(size=(s2_bs, h, w, zc)).astype(np.float32) * 0.3),
+            "image": jnp.asarray(
+                rng.random((s2_bs, img_size, img_size, 3), dtype=np.float32)),
+        }
+        if accum > 1:
+            s2_batch = _stack_accum(s2_batch, accum)
+        state = image_task.create_task_state(jax.random.key(0), spec2,
+                                             optimizer)
+        step = build_step(spec2, accum)
+        ms = _run_steps(step, state, s2_batch, s2_steps)
+        ips = s2_bs * accum / ms * 1000.0
+        out["stage2"] = {
+            "config": ("stage2_all, latents cache, tower_quant int8 (QLoRA), "
+                       f"dit_quant {quant}, B={s2_bs} x accum{accum}"),
+            "ms_per_step": round(ms, 2),
+            "img_per_sec": round(ips, 2),
+            # tower under autodiff: 3x its fwd FLOPs; VAE skipped (latents)
+            "mfu_bf16_equiv": round(
+                (3 * dit_f + 3 * clip_f) * ips / V5E_BF16_PEAK, 4)}
+        del state, step
+
     # --- analytic A100 baseline -----------------------------------------
-    seq_img = (img_size // 16) ** 2
-    flops = (3 * dit_flops_per_image(seq_img, 1, dit_cfg)
-             + clip_flops_per_image((224 // 14) ** 2 + 1, 1024, 4096, 24)
-             + vae_encoder_flops_per_image(img_size))
+    flops = 3 * dit_f + clip_f + vae_f
     a100_imgs_per_sec = 312e12 * 0.30 / flops
 
     headline = (out.get("precomputed", {}).get("img_per_sec_steady")
@@ -275,8 +389,11 @@ def main():
         "value": headline,
         "unit": "images/sec/chip",
         "vs_baseline": round(headline / a100_imgs_per_sec, 3),
+        "mfu_bf16_equiv": (out.get("precomputed", {}).get("mfu_bf16_equiv")
+                           or out["inline"]["mfu_bf16_equiv"]),
         "a100_model_img_per_sec": round(a100_imgs_per_sec, 2),
         "quant": quant,
+        "grad_accum": accum,   # precomputed/stage2; inline pinned to 1
     }
     if "inline" in out:
         out["inline"]["vs_baseline"] = round(

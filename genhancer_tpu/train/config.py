@@ -76,6 +76,10 @@ TRAIN_DEFAULTS = {
     "tracker_project_name": "genhancer-tpu",
     "resume_from_checkpoint": None,
     "gradient_accumulation_steps": 1,
+    # float32 (safe default) | param: accumulate micro-grads in each param's
+    # own dtype — for bf16 params that matches torch-DDP-under-bf16 grad
+    # buckets (the reference's accelerate path) and halves accumulator HBM
+    "grad_accum_dtype": "float32",
     "max_train_steps": 1000,
     "num_train_epochs": 1,
     "seed": 0,

@@ -18,11 +18,20 @@ import optax
 from .state import TrainState, apply_gradients
 
 
-def make_accum_train_step(loss_fn, optimizer, accum_steps: int):
+def make_accum_train_step(loss_fn, optimizer, accum_steps: int,
+                          accum_dtype=jnp.float32):
     """loss_fn(trainable, frozen, micro_batch, key, quant) -> scalar.
 
     Returns jit'd (state, stacked_batch [accum, ...leaves], key) ->
-    (state, metrics)."""
+    (state, metrics).
+
+    ``accum_dtype``: dtype of the gradient accumulator.  float32 (default)
+    is the safe choice; ``None`` accumulates in each grad's own dtype —
+    for bf16 params that matches torch-DDP-under-bf16 semantics (the
+    reference's accumulation path) and halves the accumulator's HBM
+    residency (+1.7 GB -> +0.85 GB/1B params), which is what lets
+    accum>1 fit next to a full flux-dev step on one 16 GB chip.
+    """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, stacked_batch, key):
@@ -34,11 +43,13 @@ def make_accum_train_step(loss_fn, optimizer, accum_steps: int):
             loss, grads = jax.value_and_grad(
                 lambda tp: loss_fn(tp, state.frozen, micro, k,
                                    state.quant))(state.trainable)
-            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(a.dtype), grads_acc, grads)
             return (grads_acc, loss_acc + loss), None
 
         zero = jax.tree_util.tree_map(
-            lambda x: jnp.zeros(x.shape, jnp.float32), state.trainable)
+            lambda x: jnp.zeros(x.shape, accum_dtype or x.dtype),
+            state.trainable)
         (grads, loss_sum), _ = jax.lax.scan(body, (zero, 0.0), (stacked_batch, keys))
         inv = 1.0 / accum_steps
         grads = jax.tree_util.tree_map(lambda g: g * inv, grads)

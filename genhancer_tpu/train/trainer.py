@@ -24,6 +24,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..parallel import mesh as mesh_m
@@ -244,7 +245,10 @@ class Trainer:
         loss_fn = (image_loss(self.spec, self.mesh) if self.ckpt_kind == "image"
                    else video_loss(self.spec, self.mesh))
         if self.accum > 1:
-            self.step_fn = make_accum_train_step(loss_fn, self.optimizer, self.accum)
+            acc_dt = cfg.get("grad_accum_dtype", "float32")
+            self.step_fn = make_accum_train_step(
+                loss_fn, self.optimizer, self.accum,
+                accum_dtype=None if acc_dt == "param" else jnp.dtype(acc_dt))
         else:
             self.step_fn = make_step(self.spec, self.optimizer, mesh=self.mesh)
 

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--pool", type=int, default=8,
                     help="distinct synthetic batches cycled")
     ap.add_argument("--modes", type=str, default="none,int8,int8_full")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="runs per mode with different init+noise seeds; "
+                         ">=3 gives a run-to-run noise band (mean +/- spread "
+                         "of tail loss) under the quantization comparison")
     ap.add_argument("--stage", type=str, default="stage1",
                     choices=["stage1", "stage2_only", "stage2_all"],
                     help="stage2_only: LoRA-over-frozen-base trajectories — "
@@ -113,24 +117,43 @@ def main():
                 compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16,
                 vae_dtype=jnp.bfloat16, dit_quant=mode if q8 else "none",
                 dit_quant_cache=q8)
-        state = image_task.create_task_state(jax.random.key(0), spec, optimizer)
         step = image_task.make_train_step(spec, optimizer)
-        losses = []
-        t0 = time.perf_counter()
-        for i in range(args.steps):
-            state, m = step(state, pool[i % args.pool], jax.random.key(1000 + i))
-            if i % 10 == 0 or i == args.steps - 1:
-                losses.append((i, float(m["loss"])))
-        dt = time.perf_counter() - t0
-        tail = [l for _, l in losses if _ >= args.steps * 2 // 3]
+        seed_runs = []
+        for seed in range(args.seeds):
+            # run-to-run variation = different init AND different noise/t
+            # draws (the reference's `seed` config reseeds both); the data
+            # pool stays fixed so all runs see the same dataset
+            state = image_task.create_task_state(jax.random.key(seed), spec,
+                                                 optimizer)
+            losses = []
+            t0 = time.perf_counter()
+            for i in range(args.steps):
+                k = jax.random.key(1000 + 100_000 * seed + i)
+                state, m = step(state, pool[i % args.pool], k)
+                if i % 10 == 0 or i == args.steps - 1:
+                    losses.append((i, float(m["loss"])))
+            dt = time.perf_counter() - t0
+            tail = [l for s, l in losses if s >= args.steps * 2 // 3]
+            seed_runs.append({
+                "seed": seed, "first": losses[0][1], "last": losses[-1][1],
+                "tail_mean": float(np.mean(tail)),
+                "samples": losses, "wall_s": round(dt, 1),
+            })
+            print(mode, f"seed{seed}", "first", losses[0][1],
+                  "last", losses[-1][1],
+                  "tail_mean", seed_runs[-1]["tail_mean"], flush=True)
+            del state
+        tails = [r["tail_mean"] for r in seed_runs]
         out["curves"][mode] = {
-            "first": losses[0][1], "last": losses[-1][1],
-            "tail_mean": float(np.mean(tail)),
-            "samples": losses, "wall_s": round(dt, 1),
+            "tail_mean": float(np.mean(tails)),
+            "tail_std": float(np.std(tails)),
+            "tail_min": float(np.min(tails)), "tail_max": float(np.max(tails)),
+            "seed_runs": seed_runs,
+            # back-compat single-seed fields
+            "first": seed_runs[0]["first"], "last": seed_runs[0]["last"],
+            "wall_s": sum(r["wall_s"] for r in seed_runs),
         }
-        del state, step
-        print(mode, "first", losses[0][1], "last", losses[-1][1],
-              "tail_mean", float(np.mean(tail)), flush=True)
+        del step
 
     if "none" in out["curves"]:
         ref = out["curves"]["none"]["tail_mean"]

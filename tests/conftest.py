@@ -21,6 +21,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache (shared with the dryrun/bench cache dir,
+# gitignored): dedupes identical step compiles WITHIN one suite run (e.g.
+# train-then-resume e2e paths compile the same program twice) and makes
+# repeat local runs much faster on this 1-CPU container.  Keyed on the HLO
+# hash — correctness-neutral.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# min_compile_time 0: on ONE CPU even the eager-op compiles (~0.1-1 s each,
+# hundreds per suite) are worth caching
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -133,6 +133,18 @@ class TestE2E:
         assert metrics["step"] == 2
         assert np.isfinite(metrics["loss"])
 
+    def test_grad_accum_param_dtype(self, tmp_path, shards, tiny_models):
+        """grad_accum_dtype: param — the accumulator tracks each param's own
+        dtype (torch-DDP-bf16 bucket semantics, half the accumulator HBM;
+        step_utils numeric parity in test_step_utils.TestAccumDtype)."""
+        from genhancer_tpu.cli.train import main
+        cfgp = write_cfg(tmp_path, img_dir=shards, max_train_steps=2,
+                         gradient_accumulation_steps=2, checkpointing_steps=100,
+                         grad_accum_dtype="param")
+        metrics = main(["--config", cfgp])
+        assert metrics["step"] == 2
+        assert np.isfinite(metrics["loss"])
+
     def test_stage2_exports_hf_dir(self, tmp_path, shards, tiny_models):
         from genhancer_tpu.cli.train import main
         cfgp = write_cfg(tmp_path, img_dir=shards, task="image_stage2_only",

@@ -28,9 +28,24 @@ def debug_cfg(**over):
 
 
 class TestShapeState:
-    def test_no_data_io_and_exact_counts(self):
-        # the img_dir does not exist: build_spec/shape_state must not touch it
-        spec, kind, state = plan_m.shape_state(debug_cfg())
+    def test_no_data_io_and_exact_counts(self, monkeypatch):
+        # the img_dir does not exist: build_spec/shape_state must not touch it.
+        # Tiny registry configs (the e2e tiny_models pattern): the
+        # eval_shape-vs-real-init comparison is config-independent, and the
+        # flux-debug real init cost ~57 s of single-CPU compile.
+        from test_e2e_train import TINY_DIT, TINY_VAE, TINY_TOWER
+        from genhancer_tpu import registry
+        from genhancer_tpu.models.vae import VAE_CONFIGS
+        monkeypatch.setattr(registry, "build_dit_config", lambda name: TINY_DIT)
+        monkeypatch.setattr(registry, "tower_family_and_config",
+                            lambda tower, size, clip_type=None:
+                            ("clip", TINY_TOWER))
+        monkeypatch.setitem(VAE_CONFIGS, "flux-debug", TINY_VAE)
+        cfg = debug_cfg()
+        cfg["clip_config"] = {"clip_image_size": 32, "clip_dim": 24,
+                              "t5_dim": 32}
+        cfg["data_config"] = dict(cfg["data_config"], img_size=32)
+        spec, kind, state = plan_m.shape_state(cfg)
         assert kind == "image"
         # struct tree matches a real init leaf-for-leaf
         from genhancer_tpu.tasks import image as image_task

@@ -17,9 +17,11 @@ from genhancer_tpu.models import dit as dit_m
 from genhancer_tpu.parallel import mesh as mesh_m
 from genhancer_tpu.parallel import pp as pp_m
 
+# depth 2 + 2: the smallest pp2-able graph (each compile on this 1-CPU
+# container costs ~10 s/block; the deeper schedules live in the slow tier)
 CFG = dit_m.DiTConfig(in_channels=8, vec_in_dim=12, context_in_dim=16,
                       hidden_size=64, num_heads=4, depth=2,
-                      depth_single_blocks=4, axes_dim=(4, 6, 6))
+                      depth_single_blocks=2, axes_dim=(4, 6, 6))
 
 
 @pytest.fixture(scope="module")

@@ -78,3 +78,44 @@ class TestAccumQuantThreading:
         assert seen["quant_is_none"] is False
         # apply_gradients refreshed the cache for the next step
         assert new_state.quant is not None
+
+
+class TestAccumDtype:
+    """grad_accum_dtype=param: the accumulator lives in each param's own
+    dtype (bf16 for bf16 params — torch-DDP-under-bf16 grad-bucket
+    semantics, half the accumulator HBM). Must track the f32 accumulator
+    within bf16 rounding on a real multi-micro-step update."""
+
+    def _run(self, accum_dtype):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from genhancer_tpu.train.state import TrainState
+
+        tr = {"w": (jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+                    / 7.0).astype(jnp.bfloat16)}
+        opt = optax.sgd(1e-1)
+        state = TrainState(trainable=tr, frozen={}, opt_state=opt.init(tr),
+                           step=jnp.zeros((), jnp.int32))
+
+        def loss_fn(tp, frozen, micro, key, quant=None):
+            w = tp["w"].astype(jnp.float32)
+            return jnp.mean((w @ micro["x"].T) ** 2)
+
+        step = make_accum_train_step(loss_fn, opt, 4,
+                                     accum_dtype=accum_dtype)
+        x = np.stack([np.full((2, 4), 0.1 * (i + 1), np.float32)
+                      for i in range(4)])
+        new_state, m = step(state, {"x": x}, jax.random.key(0))
+        return np.asarray(new_state.trainable["w"], np.float32), float(m["loss"])
+
+    def test_param_dtype_accumulator_tracks_f32(self):
+        w_f32, l_f32 = self._run(None)          # trainer's 'param' mapping
+        import jax.numpy as jnp
+        w_ref, l_ref = self._run(jnp.float32)   # default-safe accumulator
+        assert np.isfinite(l_f32) and l_f32 == pytest.approx(l_ref, rel=1e-5)
+        # one bf16 ulp (~2^-8 rel) per element of slack
+        np.testing.assert_allclose(w_f32, w_ref, rtol=1.5 / 256, atol=1e-4)
+        # and the update actually moved the params
+        w0 = (np.arange(12, dtype=np.float32).reshape(3, 4) / 7.0)
+        assert np.abs(w_f32 - w0.astype(np.float32)).max() > 1e-4
