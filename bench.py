@@ -28,8 +28,8 @@ and throughput is weight-independent):
     the single-run-amortized figure is the lower bound where one cold run
     pays the whole build.
 
-The precomputed and stage2 configurations run with **gradient
-accumulation 2** (BENCH_ACCUM) — the reference's own schedule
+The precomputed configuration runs with **gradient accumulation 2**
+(BENCH_ACCUM) — the reference's own schedule
 (`gradient_accumulation_steps: 2`,
 train_configs/test_SigLIP_384_stage1.yaml + train_SigLIP_stage1.py:238) —
 via the same lax.scan accumulation the trainer uses
@@ -49,7 +49,10 @@ A **stage2** block additionally measures the shipped stage-2_all fast path
 (configs/tpu_fast_stage2_all.yaml semantics: latents cache + tower QLoRA
 int8 + cached-SwitchBack DiT via the fused optimizer) at the reference
 stage-2 batch (B=16, train_SigLIP_stage2_all.py:134-174), so the driver
-artifact captures more than stage-1.
+artifact captures more than stage-1.  Its accumulation is its own knob
+(BENCH_S2_ACCUM, default 1 = the shipped config's measured-best step; 2 =
+the reference schedule, which on a 16 GB chip needs tower remat + 8-bit
+Adam moments and measures slightly slower — see the stage-2 block).
 
 Default configuration is the shipped TPU-fast stack: int8 frozen tower/VAE
 (weight-static/activation-dynamic, core/quant.py) and full-int8 SwitchBack
@@ -92,6 +95,17 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache (same dir as the dryrun/test suite,
+# gitignored): repeat bench invocations skip the multi-minute step
+# compiles — timing is unaffected (_run_steps warms up before measuring)
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass  # older jax — cache is best-effort
 
 
 # Reference image stage-1 schedule (test_SigLIP_384_stage1.yaml:17-20,
@@ -194,6 +208,30 @@ def main():
     cache_bs = int(os.environ.get("BENCH_CACHE_BS", "64"))
     modes = os.environ.get("BENCH_MODES", "inline,pre,stage2").split(",")
 
+    # Multi-mode runs fork one child process per mode: each configuration's
+    # step assigns HBM as if it ran alone (in-process, residual buffers from
+    # an earlier block pushed the stage-2 step over 15.75 G at runtime).
+    # The persistent compilation cache (above) carries the compiled
+    # executables across the forks, so the forks cost process startup only.
+    if len(modes) > 1 and os.environ.get("GH_BENCH_CHILD") != "1":
+        import subprocess
+        import sys
+        merged = {}
+        for mode in modes:
+            env = dict(os.environ, BENCH_MODES=mode, GH_BENCH_CHILD="1")
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True)
+            if r.returncode != 0:
+                sys.stderr.write(r.stderr[-4000:])
+                raise SystemExit(f"bench child '{mode}' failed "
+                                 f"rc={r.returncode}")
+            block = json.loads(r.stdout.strip().splitlines()[-1])
+            for k in ("inline", "precomputed", "stage2"):
+                if k in block:
+                    merged[k] = block[k]
+        _finalize(merged, img_size, accum, quant)
+        return
+
     from genhancer_tpu.models import dit as dit_m
     from genhancer_tpu.models import vae as vae_m
     from genhancer_tpu.models.towers import clip as clip_m
@@ -227,14 +265,15 @@ def main():
     optimizer = optim.make_optimizer(cfg, fused="pallas" if q8 else False,
                                      emit_quant=q8)
 
-    def build_step(spec, accum_eff):
+    def build_step(spec, accum_eff, opt=None):
+        opt = opt or optimizer
         if accum_eff > 1:
             from genhancer_tpu.tasks.image import make_loss_fn
             # param-dtype (bf16) accumulator: torch-DDP-bf16 bucket
             # semantics, and the +1.7 GB f32 accumulator would not fit
-            return make_accum_train_step(make_loss_fn(spec), optimizer,
+            return make_accum_train_step(make_loss_fn(spec), opt,
                                          accum_eff, accum_dtype=None)
-        return image_task.make_train_step(spec, optimizer)
+        return image_task.make_train_step(spec, opt)
     rng = np.random.default_rng(0)
     out = {}
 
@@ -344,14 +383,21 @@ def main():
     # the driver artifact carries the stage-2 matrix, not just stage-1.
     if "stage2" in modes:
         s2_bs = int(os.environ.get("BENCH_S2_BS", "16"))
+        # default accum 1 = the shipped configs/tpu_fast_stage2_all.yaml
+        # semantics (its measured-best step).  BENCH_S2_ACCUM=2 runs the
+        # reference's own accum-2 schedule instead; on one 16 GB v5e that
+        # needs tower remat + 8-bit Adam moments (without them the step
+        # assigns 18.4 G / 15.85 G of HBM — the reference's A100-80G never
+        # feels this), and the remat re-forward + moment8 decode cost
+        # slightly outweigh the amortized AdamW (58.9 vs 62.1 img/s
+        # measured r4) — both recorded in STATUS.md.
+        s2_accum = int(os.environ.get("BENCH_S2_ACCUM", "1"))
         s2_steps = max(5, steps // 2)
-        # tower_remat: with accum=2 the live-tower bwd residuals push the
-        # step to 18.4 GB (> 15.75 GB v5e HBM); checkpointing the tower
-        # encoder layers (the r3 knob, explicit for image stage-2 —
-        # PARITY.md) trades the cheap tower re-forward for fitting the
-        # reference's accum-2 schedule on one chip
         spec2 = make_spec(stage="stage2_all", lora_dropout=0.1,
-                          tower_remat=True)
+                          tower_remat=s2_accum > 1)
+        opt2 = (optim.make_optimizer(cfg, fused="pallas", emit_quant=True,
+                                     moment_bits=8) if q8 and s2_accum > 1
+                else optimizer)
         h, w = spec2.latent_hw
         zc = 2 * vae_cfg.z_channels
         s2_batch = {
@@ -361,39 +407,56 @@ def main():
             "image": jnp.asarray(
                 rng.random((s2_bs, img_size, img_size, 3), dtype=np.float32)),
         }
-        if accum > 1:
-            s2_batch = _stack_accum(s2_batch, accum)
+        if s2_accum > 1:
+            s2_batch = _stack_accum(s2_batch, s2_accum)
         state = image_task.create_task_state(jax.random.key(0), spec2,
-                                             optimizer)
-        step = build_step(spec2, accum)
+                                             opt2)
+        step = build_step(spec2, s2_accum, opt2)
         ms = _run_steps(step, state, s2_batch, s2_steps)
-        ips = s2_bs * accum / ms * 1000.0
+        ips = s2_bs * s2_accum / ms * 1000.0
         out["stage2"] = {
             "config": ("stage2_all, latents cache, tower_quant int8 (QLoRA), "
-                       f"dit_quant {quant}, B={s2_bs} x accum{accum}"),
+                       f"dit_quant {quant}, B={s2_bs} x accum{s2_accum}"
+                       + (", tower_remat + moment8 (16G fit)"
+                          if s2_accum > 1 else "")),
             "ms_per_step": round(ms, 2),
             "img_per_sec": round(ips, 2),
+            "grad_accum": s2_accum,
             # tower under autodiff: 3x its fwd FLOPs; VAE skipped (latents)
             "mfu_bf16_equiv": round(
                 (3 * dit_f + 3 * clip_f) * ips / V5E_BF16_PEAK, 4)}
         del state, step
 
-    # --- analytic A100 baseline -----------------------------------------
+    _finalize(out, img_size, accum, quant)
+
+
+def _finalize(out, img_size, accum, quant):
+    """Attach the analytic A100 baseline + headline and print the JSON line.
+
+    Shape-only (config dims -> FLOPs): runs in the parent process of a
+    multi-mode fork without touching any device."""
+    from genhancer_tpu.models import dit as dit_m
+    seq_img = (img_size // 16) ** 2
+    dit_f = dit_flops_per_image(seq_img, 1, dit_m.DIT_CONFIGS["flux-dev"])
+    clip_f = clip_flops_per_image((224 // 14) ** 2 + 1, 1024, 4096, 24)
+    vae_f = vae_encoder_flops_per_image(img_size)
     flops = 3 * dit_f + clip_f + vae_f
     a100_imgs_per_sec = 312e12 * 0.30 / flops
 
     headline = (out.get("precomputed", {}).get("img_per_sec_steady")
-                or out["inline"]["img_per_sec"])
+                or out.get("inline", {}).get("img_per_sec")
+                or out["stage2"]["img_per_sec"])
     result = {
         "metric": "stage1_image_train_throughput",
         "value": headline,
         "unit": "images/sec/chip",
         "vs_baseline": round(headline / a100_imgs_per_sec, 3),
         "mfu_bf16_equiv": (out.get("precomputed", {}).get("mfu_bf16_equiv")
-                           or out["inline"]["mfu_bf16_equiv"]),
+                           or out.get("inline", {}).get("mfu_bf16_equiv")
+                           or out["stage2"]["mfu_bf16_equiv"]),
         "a100_model_img_per_sec": round(a100_imgs_per_sec, 2),
         "quant": quant,
-        "grad_accum": accum,   # precomputed/stage2; inline pinned to 1
+        "grad_accum": accum,   # precomputed; inline pinned to 1, stage2 own
     }
     if "inline" in out:
         out["inline"]["vs_baseline"] = round(

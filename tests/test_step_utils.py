@@ -119,3 +119,76 @@ class TestAccumDtype:
         # and the update actually moved the params
         w0 = (np.arange(12, dtype=np.float32).reshape(3, 4) / 7.0)
         assert np.abs(w_f32 - w0.astype(np.float32)).max() > 1e-4
+
+
+class TestUnrollScanParity:
+    """make_accum_train_step lowers small accum as straight-line unroll
+    (first micro's grads ARE the accumulator; 1/accum folded into the
+    loss) and large accum as lax.scan — the two must produce the same
+    update and metrics, including non-power-of-two accum."""
+
+    def _run(self, unroll_below, accum):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from genhancer_tpu.train.state import TrainState
+
+        tr = {"w": (jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+                    / 7.0)}
+        opt = optax.sgd(1e-1)
+        state = TrainState(trainable=tr, frozen={}, opt_state=opt.init(tr),
+                           step=jnp.zeros((), jnp.int32))
+
+        def loss_fn(tp, frozen, micro, key, quant=None):
+            return jnp.mean((tp["w"] @ micro["x"].T) ** 2)
+
+        step = make_accum_train_step(loss_fn, opt, accum,
+                                     unroll_below=unroll_below)
+        x = np.stack([np.full((2, 4), 0.1 * (i + 1), np.float32)
+                      for i in range(accum)])
+        new_state, m = step(state, {"x": x}, jax.random.key(0))
+        return (np.asarray(new_state.trainable["w"], np.float32),
+                float(m["loss"]), float(m["grad_norm"]))
+
+    @pytest.mark.parametrize("accum", [2, 3])
+    def test_unrolled_matches_scan(self, accum):
+        w_u, l_u, gn_u = self._run(accum + 1, accum)  # unrolled
+        w_s, l_s, gn_s = self._run(1, accum)          # forced scan
+        assert l_u == pytest.approx(l_s, rel=1e-6)
+        assert gn_u == pytest.approx(gn_s, rel=1e-6)
+        np.testing.assert_allclose(w_u, w_s, rtol=1e-6)
+
+
+class TestAccumFusedMoment8:
+    """The bench stage-2 memory recipe: lax.scan accumulation over the fused
+    Pallas AdamW with 8-bit moments (optimizer_moment_bits: 8) — the combo
+    must update params once per optimizer step and keep Moment8 state."""
+
+    def test_accum_over_pallas_moment8(self):
+        import jax
+        import jax.numpy as jnp
+        from genhancer_tpu.core.pallas import adamw as pa
+        from genhancer_tpu.train import optim
+        from genhancer_tpu.train.config import Config, TRAIN_DEFAULTS
+        from genhancer_tpu.train.state import TrainState
+
+        cfg = Config(dict(TRAIN_DEFAULTS, learning_rate=1e-2,
+                          fused_optimizer="pallas"))
+        opt = optim.make_optimizer(cfg, fused="pallas", moment_bits=8)
+        tr = {"w": jnp.zeros((64, 1024), jnp.float32)}
+        state = TrainState(trainable=tr, frozen={}, opt_state=opt.init(tr),
+                           step=jnp.zeros((), jnp.int32))
+        m8_leaves = [x for x in jax.tree_util.tree_leaves(
+            state.opt_state, is_leaf=lambda x: isinstance(x, pa.Moment8))
+            if isinstance(x, pa.Moment8)]
+        assert m8_leaves, "expected Moment8 state for the 64x1024 leaf"
+
+        def loss_fn(tp, frozen, micro, key, quant=None):
+            return jnp.mean((tp["w"] - micro["t"]) ** 2)
+
+        step = make_accum_train_step(loss_fn, opt, 2, accum_dtype=None)
+        t = np.full((2, 64, 1024), 0.5, np.float32)
+        new_state, m = step(state, {"t": t}, jax.random.key(0))
+        assert np.isfinite(float(m["loss"]))
+        w = np.asarray(new_state.trainable["w"])
+        assert np.abs(w).max() > 0  # moved toward the target
