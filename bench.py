@@ -32,8 +32,10 @@ The precomputed configuration runs with **gradient accumulation 2**
 (BENCH_ACCUM) — the reference's own schedule
 (`gradient_accumulation_steps: 2`,
 train_configs/test_SigLIP_384_stage1.yaml + train_SigLIP_stage1.py:238) —
-via the same lax.scan accumulation the trainer uses
-(train/step_utils.make_accum_train_step, accumulator in param dtype =
+via the same accumulation the trainer uses
+(train/step_utils.make_accum_train_step: straight-line unroll with an
+optimization_barrier serializing micro-batches for small accum counts,
+lax.scan for large; accumulator in param dtype =
 `grad_accum_dtype: param`, matching torch-DDP-under-bf16 grad buckets):
 per optimizer step, 2 micro fwd/bwd + ONE AdamW pass, so the
 bandwidth-bound optimizer cost amortizes over 2x images exactly as it

@@ -39,8 +39,13 @@ def make_accum_train_step(loss_fn, optimizer, accum_steps: int,
       ``0 + g`` HBM pass a loop would force), later adds fuse into each
       backward's epilogue, and the mean is folded into the loss as a
       ``1/accum`` factor (bf16-exact for power-of-two accum) so no
-      separate full-tree scale pass runs before the optimizer.  Measured
-      on v5e flux-dev accum-2: 424 -> ~390 ms/step.
+      separate full-tree scale pass runs before the optimizer.  An
+      ``optimization_barrier`` ties each micro-batch's inputs to the
+      previous micro-batch's grads: without it XLA schedules micro i's
+      forward before micro i-1's backward has retired, keeping two
+      micro-batches' residuals live at once and spilling (measured on
+      v5e flux-dev accum-2 B=32 int8_full: 411 -> 382 ms/step; the
+      barrier is semantically the identity, so math is unchanged).
     - larger ``accum_steps``: ``lax.scan`` — one fwd+bwd HLO instance,
       compile time independent of accum.
     """
@@ -65,6 +70,8 @@ def make_accum_train_step(loss_fn, optimizer, accum_steps: int,
                 grads = jax.tree_util.tree_map(
                     lambda g: g.astype(accum_dtype), grads)
             for i in range(1, accum_steps):
+                grads, micros[i] = jax.lax.optimization_barrier(
+                    (grads, micros[i]))
                 loss, g = micro_grads(state, micros[i], keys[i])
                 loss_sum = loss_sum + loss
                 grads = jax.tree_util.tree_map(

@@ -18,13 +18,21 @@ import numpy as np
 
 
 def bench_fn(fn, *args, reps=10):
+    """Sync via a host read of a scalar reduction, NOT block_until_ready:
+    over the axon relay block_until_ready resolves on the handle, not the
+    computation (it measured a 193 ms train step as 6.7 ms)."""
     import jax
-    o = fn(*args)
-    jax.block_until_ready(o)
+    import jax.numpy as jnp
+
+    def sync(o):
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        float(jnp.sum(leaf).astype(jnp.float32))
+
+    sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
         o = fn(*args)
-    jax.block_until_ready(o)
+    sync(o)
     return (time.perf_counter() - t0) / reps * 1000.0
 
 
