@@ -24,17 +24,27 @@ from ..train import flow
 
 def reconstruct(params: dict, spec, image01: np.ndarray, *, num_steps: int = 20,
                 guidance: float = 4.0, seed: int = 0,
-                shift_schedule: bool = True) -> np.ndarray:
+                shift_schedule: bool = True,
+                controlnet_params: dict = None,
+                control_image01: np.ndarray = None,
+                controlnet_gs: float = 0.7) -> np.ndarray:
     """params: {dit, vae, clip{model, project_clip, project_t5}} nested trees;
     spec: tasks.image.TaskSpec; image01: [B, H, W, 3] in [0,1].
-    Returns reconstructed [B, H, W, 3] in [0,1]."""
+    Returns reconstructed [B, H, W, 3] in [0,1].
+
+    ``controlnet_params`` (models.controlnet tree) switches the sampler to
+    ``denoise_controlnet`` (reference sampling.py:152-232, reconstruct_stage1
+    ``control_weight``): the control image (default: the input image itself)
+    is VAE-encoded to packed tokens and drives per-double-block residuals."""
     b, h_px, w_px, _ = image01.shape
     lat_h, lat_w = spec.latent_hw
     seq_len = (lat_h // 2) * (lat_w // 2)
     timesteps = flow.get_schedule(num_steps, seq_len, shift=shift_schedule)
+    if controlnet_params is not None and control_image01 is None:
+        control_image01 = image01
 
     @jax.jit
-    def run(params, image01, key):
+    def run(params, controlnet_params, image01, control_image01, key):
         cond = image_conditioning(spec.tower_kind, params["clip"], image01,
                                   spec.tower_cfg, spec.latent_hw,
                                   compute_dtype=spec.compute_dtype)
@@ -42,18 +52,41 @@ def reconstruct(params: dict, spec, image01: np.ndarray, *, num_steps: int = 20,
                                   jnp.float32)
         img = dit_m.pack_latent(noise).astype(spec.compute_dtype)
 
-        def model_fn(x, t_vec, g_vec):
+        def model_fn(x, t_vec, g_vec, res=None):
             return dit_m.dit_forward(
                 params["dit"], spec.dit_cfg, img=x, img_ids=cond["img_ids"],
                 txt=cond["txt"].astype(x.dtype), txt_ids=cond["txt_ids"],
-                timesteps=t_vec, y=cond["vec"].astype(x.dtype), guidance=g_vec)
+                timesteps=t_vec, y=cond["vec"].astype(x.dtype), guidance=g_vec,
+                controlnet_residuals=res)
 
-        tokens = flow.denoise_euler(model_fn, img, timesteps, guidance)
+        if controlnet_params is None:
+            tokens = flow.denoise_euler(model_fn, img, timesteps, guidance)
+        else:
+            # deterministic (mean) latent of the control image, 0.5/0.5-norm
+            ctl = vae_m.vae_encode(params["vae"], spec.vae_cfg,
+                                   control_image01 * 2.0 - 1.0, sample=False)
+            ctl_tokens = dit_m.pack_latent(ctl).astype(spec.compute_dtype)
+
+            def cn_fn(x, t_vec, g_vec):
+                from ..models import controlnet as cn_m
+                return cn_m.controlnet_forward(
+                    controlnet_params, spec.dit_cfg, img=x,
+                    img_ids=cond["img_ids"], txt=cond["txt"].astype(x.dtype),
+                    txt_ids=cond["txt_ids"], timesteps=t_vec,
+                    y=cond["vec"].astype(x.dtype), guidance=g_vec,
+                    controlnet_cond=ctl_tokens)
+
+            tokens = flow.denoise_controlnet(model_fn, cn_fn, img, timesteps,
+                                             guidance=guidance,
+                                             controlnet_gs=controlnet_gs)
         lat = dit_m.unpack_latent(tokens.astype(jnp.float32), lat_h, lat_w)
         out = vae_m.vae_decode(params["vae"], spec.vae_cfg, lat)
         return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)   # inverse 0.5/0.5 normalize
 
-    return np.asarray(run(params, jnp.asarray(image01), jax.random.key(seed)))
+    ctl_arr = (jnp.asarray(control_image01)
+               if control_image01 is not None else jnp.zeros((0,)))
+    return np.asarray(run(params, controlnet_params, jnp.asarray(image01),
+                          ctl_arr, jax.random.key(seed)))
 
 
 def reconstruct_from_checkpoints(spec, load_dir: str, load_step: int,

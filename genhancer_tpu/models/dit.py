@@ -241,10 +241,18 @@ def dit_forward(params: dict, cfg: DiTConfig, *,
                 remat_policy: Optional[str] = None,
                 image_proj: Optional[jax.Array] = None,
                 ip_params: Optional[dict] = None,
-                ip_scale: float = 1.0) -> jax.Array:
+                ip_scale: float = 1.0,
+                controlnet_residuals: Optional[tuple] = None) -> jax.Array:
     """img: [B, L_img, 64] packed latent tokens; txt: [B, L_txt, 4096];
     ids: [B, L, 3]; timesteps/guidance: [B]; y: [B, vec_in_dim].
-    Returns velocity tokens [B, L_img, 64].  Parity: model.py:137-228."""
+    Returns velocity tokens [B, L_img, 64].  Parity: model.py:137-228.
+
+    ``controlnet_residuals``: optional tuple of [B, L_img, hidden] tensors
+    (from ``models.controlnet.controlnet_forward``) added to the img stream
+    after each double block, consumed cyclically over the controlnet depth —
+    ``block_controlnet_hidden_states`` in the reference (model.py:165-166,
+    198-200; its hardcoded ``% 2`` equals ``% controlnet_depth`` at the
+    shipped depth-2 config — we index by the stated intent)."""
     if img.ndim != 3 or txt.ndim != 3:
         raise ValueError("img and txt must be 3-D [B, L, C]")
 
@@ -281,6 +289,9 @@ def dit_forward(params: dict, cfg: DiTConfig, *,
     for i, p in enumerate(params["double_blocks"]):
         ip = ((ip_params["ip_double"][i], image_proj, ip_scale) if use_ip else None)
         img, txt = dblock(p, img, txt, vec, cos, sin, cfg.num_heads, ip)
+        if controlnet_residuals is not None:
+            res = controlnet_residuals[i % len(controlnet_residuals)]
+            img = img + res.astype(img.dtype)
 
     x = jnp.concatenate([txt, img], axis=1)
     for i, p in enumerate(params["single_blocks"]):

@@ -94,6 +94,36 @@ def denoise_euler_cfg(model_fn, img: jax.Array, timesteps, *,
     return img
 
 
+def denoise_controlnet(model_fn, controlnet_fn, img: jax.Array, timesteps, *,
+                       guidance: float = 4.0, true_gs: float = 1.0,
+                       controlnet_gs: float = 0.7,
+                       neg_model_fn=None, neg_controlnet_fn=None,
+                       timestep_to_start_cfg: int = 0):
+    """ControlNet-guided Euler sampler (sampling.py:152-232).
+
+    ``controlnet_fn(img, t_vec, g_vec) -> tuple of residuals`` closes over the
+    controlnet params + conditioning tokens (models.controlnet); residuals are
+    scaled by ``controlnet_gs`` and fed to ``model_fn(img, t_vec, g_vec,
+    residuals)``.  CFG from step ``timestep_to_start_cfg`` on, with the
+    negative branch running its own controlnet pass under the negative text
+    conditioning exactly as the reference does (sampling.py:205-213).
+    """
+    b = img.shape[0]
+    guidance_vec = jnp.full((b,), guidance, dtype=img.dtype)
+    for i, (t_curr, t_prev) in enumerate(zip(timesteps[:-1], timesteps[1:])):
+        t_vec = jnp.full((b,), t_curr, dtype=img.dtype)
+        res = tuple(controlnet_gs * r for r in controlnet_fn(img, t_vec, guidance_vec))
+        pred = model_fn(img, t_vec, guidance_vec, res)
+        if neg_model_fn is not None and i >= timestep_to_start_cfg:
+            neg_cn = neg_controlnet_fn or controlnet_fn
+            neg_res = tuple(controlnet_gs * r
+                            for r in neg_cn(img, t_vec, guidance_vec))
+            neg_pred = neg_model_fn(img, t_vec, guidance_vec, neg_res)
+            pred = neg_pred + true_gs * (pred - neg_pred)
+        img = img + (t_prev - t_curr) * pred
+    return img
+
+
 def denoise_euler(model_fn, img: jax.Array, timesteps, guidance: float = 4.0):
     """Euler integration: img += (t_prev - t_curr) * v(img, t).
 

@@ -51,3 +51,26 @@ class TestReconstruct:
             spec, outdir, 5, img_path, str(tmp_path / "recon"), num_steps=2)
         assert os.path.exists(out)
         assert os.path.exists(str(tmp_path / "recon" / "input.jpg"))
+
+    def test_controlnet_path(self):
+        """ControlNet-guided sampling (sampling.py:152-232): zero-init net is
+        a bit-exact no-op; a trained (perturbed) one steers the output."""
+        import jax.numpy as jnp
+        from genhancer_tpu.models import controlnet as cn_m
+
+        spec = make_image_spec("stage1")
+        modules = image_task.init_modules(jax.random.key(0), spec)
+        cn_p = cn_m.init_controlnet_from_dit(jax.random.key(1),
+                                             modules["dit"], spec.dit_cfg,
+                                             depth=2)
+        img = np.random.default_rng(0).random((1, 32, 32, 3), dtype=np.float32)
+        plain = R.reconstruct(modules, spec, img, num_steps=2, seed=0)
+        zero = R.reconstruct(modules, spec, img, num_steps=2, seed=0,
+                             controlnet_params=cn_p)
+        np.testing.assert_allclose(zero, plain, atol=1e-6)
+        for blk in cn_p["controlnet_blocks"]:
+            blk["weight"] = blk["weight"] + 0.05 * jnp.eye(
+                spec.dit_cfg.hidden_size)
+        steered = R.reconstruct(modules, spec, img, num_steps=2, seed=0,
+                                controlnet_params=cn_p)
+        assert float(np.abs(steered - plain).max()) > 1e-5
