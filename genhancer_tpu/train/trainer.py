@@ -122,6 +122,16 @@ class Trainer:
         if cache_dir:
             jax.config.update("jax_compilation_cache_dir", str(cache_dir))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            # jax initializes its cache object lazily ONCE; if some earlier
+            # compile in this process already created it (another dir, or a
+            # test harness), the config update alone is silently ignored —
+            # drop the instance so the next compile re-opens it here.
+            try:
+                from jax.experimental.compilation_cache import (
+                    compilation_cache as _cc)
+                _cc.reset_cache()
+            except Exception:  # cache not yet initialized / API moved
+                pass
             log.info("persistent compilation cache at %s", cache_dir)
         n = int(cfg.get("num_devices") or len(jax.devices()))
         self.tp = int(cfg.get("model_parallel", 1) or 1)

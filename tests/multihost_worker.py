@@ -16,6 +16,11 @@ import json
 import os
 import sys
 
+# self-contained import path: the worker is spawned as a bare script in a
+# fresh interpreter, so it cannot rely on pytest's rootdir insertion or on
+# an editable install being present in the venv
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     proc_id, nprocs, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
