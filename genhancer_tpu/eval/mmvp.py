@@ -140,8 +140,10 @@ def evaluate(params, cfg, kind: str, benchmark_dir: str,
                                   batch)
     img_emb = img_emb / np.linalg.norm(img_emb, axis=-1, keepdims=True)
     txt_emb = txt_emb / np.linalg.norm(txt_emb, axis=-1, keepdims=True)
-    scale = float(np.exp(np.asarray(params["logit_scale"])))
-    bias = float(np.asarray(params.get("logit_bias", 0.0)))
+    # .reshape(()) handles both scalar and shape-[1] checkpoints without
+    # tripping NumPy's ndim>0 -> scalar deprecation (error on NumPy>=2.3)
+    scale = float(np.exp(np.asarray(params["logit_scale"]).reshape(())))
+    bias = float(np.asarray(params.get("logit_bias", 0.0)).reshape(()))
 
     cat_correct: Dict[str, int] = {}
     cat_total: Dict[str, int] = {}

@@ -33,9 +33,12 @@ def reconstruct(params: dict, spec, image01: np.ndarray, *, num_steps: int = 20,
     Returns reconstructed [B, H, W, 3] in [0,1].
 
     ``controlnet_params`` (models.controlnet tree) switches the sampler to
-    ``denoise_controlnet`` (reference sampling.py:152-232, reconstruct_stage1
-    ``control_weight``): the control image (default: the input image itself)
-    is VAE-encoded to packed tokens and drives per-double-block residuals."""
+    ``denoise_controlnet`` (reference sampling.py:152-232).  Note: the
+    reference reconstructor ACCEPTS a ``control_weight`` arg but never
+    exercises it (reconstruct_stage1.py passes controlnet_image=None), so
+    this drivable path is a framework addition, not a parity requirement.
+    The control image (default: the input image itself) is VAE-encoded to
+    packed tokens and drives per-double-block residuals."""
     b, h_px, w_px, _ = image01.shape
     lat_h, lat_w = spec.latent_hw
     seq_len = (lat_h // 2) * (lat_w // 2)

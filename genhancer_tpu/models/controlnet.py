@@ -45,7 +45,9 @@ def init_controlnet(key: jax.Array, cfg: DiTConfig, depth: int = 2) -> dict:
     mirrors the DiT's so the trunk sees the same token/conditioning geometry
     (model.py:137-164).
     """
-    ks = list(jax.random.split(key, 6 + depth))
+    # exactly 5 + depth keys, consumed consecutively (ks[4] feeds the
+    # optional guidance embedder; it stays unused for schnell-style configs)
+    ks = list(jax.random.split(key, 5 + depth))
     h = cfg.hidden_size
     params = {
         "img_in": nn.linear_init(ks[0], cfg.in_channels, h),
@@ -53,13 +55,12 @@ def init_controlnet(key: jax.Array, cfg: DiTConfig, depth: int = 2) -> dict:
         "vector_in": nn.mlp_embedder_init(ks[2], cfg.vec_in_dim, h),
         "txt_in": nn.linear_init(ks[3], cfg.context_in_dim, h),
         "cond_in": _zero_linear(cfg.in_channels, h),
-        "double_blocks": [_init_double_block(ks[6 + i], cfg)
+        "double_blocks": [_init_double_block(ks[5 + i], cfg)
                           for i in range(depth)],
         "controlnet_blocks": [_zero_linear(h, h) for _ in range(depth)],
     }
     if cfg.guidance_embed:
-        params["guidance_in"] = nn.mlp_embedder_init(
-            jax.random.fold_in(key, 7), 256, h)
+        params["guidance_in"] = nn.mlp_embedder_init(ks[4], 256, h)
     return params
 
 

@@ -106,8 +106,18 @@ def denoise_controlnet(model_fn, controlnet_fn, img: jax.Array, timesteps, *,
     scaled by ``controlnet_gs`` and fed to ``model_fn(img, t_vec, g_vec,
     residuals)``.  CFG from step ``timestep_to_start_cfg`` on, with the
     negative branch running its own controlnet pass under the negative text
-    conditioning exactly as the reference does (sampling.py:205-213).
+    conditioning exactly as the reference does (sampling.py:205-213) — so
+    ``neg_controlnet_fn`` is REQUIRED alongside ``neg_model_fn``; pass
+    ``neg_controlnet_fn=controlnet_fn`` explicitly to reuse the positive
+    conditioning (a deliberate deviation, not a silent default).
     """
+    if neg_model_fn is not None and neg_controlnet_fn is None:
+        raise ValueError(
+            "neg_model_fn given without neg_controlnet_fn: the reference "
+            "runs the controlnet under the NEGATIVE text conditioning in the "
+            "CFG branch (sampling.py:205-213).  Pass neg_controlnet_fn "
+            "(or neg_controlnet_fn=controlnet_fn to knowingly reuse the "
+            "positive conditioning)")
     b = img.shape[0]
     guidance_vec = jnp.full((b,), guidance, dtype=img.dtype)
     for i, (t_curr, t_prev) in enumerate(zip(timesteps[:-1], timesteps[1:])):
@@ -115,9 +125,8 @@ def denoise_controlnet(model_fn, controlnet_fn, img: jax.Array, timesteps, *,
         res = tuple(controlnet_gs * r for r in controlnet_fn(img, t_vec, guidance_vec))
         pred = model_fn(img, t_vec, guidance_vec, res)
         if neg_model_fn is not None and i >= timestep_to_start_cfg:
-            neg_cn = neg_controlnet_fn or controlnet_fn
             neg_res = tuple(controlnet_gs * r
-                            for r in neg_cn(img, t_vec, guidance_vec))
+                            for r in neg_controlnet_fn(img, t_vec, guidance_vec))
             neg_pred = neg_model_fn(img, t_vec, guidance_vec, neg_res)
             pred = neg_pred + true_gs * (pred - neg_pred)
         img = img + (t_prev - t_curr) * pred

@@ -201,7 +201,7 @@ class TestDenoiseControlNet:
             return flow.denoise_controlnet(
                 model_fn, cn_fn, img, ts, guidance=4.0, true_gs=3.0,
                 controlnet_gs=0.7, neg_model_fn=neg_model_fn,
-                timestep_to_start_cfg=1)
+                neg_controlnet_fn=cn_fn, timestep_to_start_cfg=1)
 
         out = run(inp["img"])
         assert out.shape == inp["img"].shape
@@ -209,5 +209,6 @@ class TestDenoiseControlNet:
         # CFG actually engaged: true_gs=1 with the same negative differs
         out_gs1 = flow.denoise_controlnet(
             model_fn, cn_fn, inp["img"], ts, guidance=4.0, true_gs=1.0,
-            neg_model_fn=neg_model_fn, timestep_to_start_cfg=1)
+            neg_model_fn=neg_model_fn, neg_controlnet_fn=cn_fn,
+            timestep_to_start_cfg=1)
         assert float(jnp.max(jnp.abs(out - out_gs1))) > 1e-6
