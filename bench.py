@@ -208,7 +208,7 @@ def main():
     quant = os.environ.get("BENCH_QUANT", "int8_full")
     variants = int(os.environ.get("BENCH_CACHE_VARIANTS", "1"))
     cache_bs = int(os.environ.get("BENCH_CACHE_BS", "64"))
-    modes = os.environ.get("BENCH_MODES", "inline,pre,stage2").split(",")
+    modes = os.environ.get("BENCH_MODES", "inline,pre,stage2,video").split(",")
 
     # Multi-mode runs fork one child process per mode: each configuration's
     # step assigns HBM as if it ran alone (in-process, residual buffers from
@@ -228,7 +228,7 @@ def main():
                 raise SystemExit(f"bench child '{mode}' failed "
                                  f"rc={r.returncode}")
             block = json.loads(r.stdout.strip().splitlines()[-1])
-            for k in ("inline", "precomputed", "stage2"):
+            for k in ("inline", "precomputed", "stage2", "video"):
                 if k in block:
                     merged[k] = block[k]
         _finalize(merged, img_size, accum, quant)
@@ -428,6 +428,64 @@ def main():
             "mfu_bf16_equiv": round(
                 (3 * dit_f + 3 * clip_f) * ips / V5E_BF16_PEAK, 4)}
         del state, step
+
+    # --- video block: the fork's namesake feature (root README.md:1-10) ---
+    # Regression-guards the two shipped video stage-1 design points each
+    # round (VERDICT r4 #4); both measured at 336px, the resolution the
+    # r2-r4 STATUS numbers used:
+    #   * middle-frame interpolation (train_OpenAICLIP_video_stage1.py),
+    #     B=8 inline — B=8 is the single-chip operating point (the
+    #     reference's B=32 schedule OOMs one 16 GB v5e); factory auto-remat
+    #     fires at these tokens (8 x 1593 > 8192), so remat on.
+    #   * sliding-window next-frame (..._sliding_windows_..._stage1.py),
+    #     B=2 windows x (3 cond + 1 target), L=2169 joint tokens — fits
+    #     no-remat (flash attention keeps memory O(L)), the measured -23%.
+    if "video" in modes:
+        from genhancer_tpu.tasks import video as video_task
+        v_img = int(os.environ.get("BENCH_VIDEO_IMG", "336"))
+        tower336 = clip_m.CLIP_VARIANTS["clip-vit-large-patch14-336"]
+        v_seq_img = (v_img // 16) ** 2
+        v_lp = (336 // 14) ** 2                       # tower patch tokens
+        clip336_f = clip_flops_per_image(v_lp + 1, 1024, 4096, 24)
+        vae336_f = vae_encoder_flops_per_image(v_img)
+        out["video"] = {}
+        for vmode, v_bs, v_remat in (("middle", int(os.environ.get(
+                "BENCH_VIDEO_BS", "8")), True),
+                ("sliding", int(os.environ.get("BENCH_SLIDING_BS", "2")),
+                 False)):
+            n_cond = video_task.VIDEO_MODES[vmode]["n_cond"]
+            vspec = video_task.VideoTaskSpec(
+                mode=vmode, stage="stage1", tower_kind="clip",
+                img_size=v_img, clip_image_size=336,
+                dit_cfg=dit_cfg, vae_cfg=vae_cfg, tower_cfg=tower336,
+                compute_dtype=jnp.bfloat16, dit_param_dtype=jnp.bfloat16,
+                vae_dtype=jnp.bfloat16, remat=v_remat,
+                tower_quant=("int8" if q8 else "none"),
+                vae_quant=("int8" if q8 else "none"),
+                dit_quant=quant if q8 else "none", dit_quant_cache=q8)
+            vstate = video_task.create_task_state(jax.random.key(0), vspec,
+                                                  optimizer)
+            vstep = video_task.make_train_step(vspec, optimizer)
+            vbatch = {
+                "cond": jnp.asarray(rng.random(
+                    (v_bs, n_cond, v_img, v_img, 3), dtype=np.float32)),
+                "target": jnp.asarray(rng.random(
+                    (v_bs, v_img, v_img, 3), dtype=np.float32)),
+            }
+            ms = _run_steps(vstep, vstate, vbatch, max(5, steps // 2))
+            sps = v_bs / ms * 1000.0
+            # per sample: DiT fwd+bwd on (n_cond*576 txt + 441 img) tokens,
+            # n_cond frozen tower fwds, 1 frozen VAE target encode
+            v_dit_f = dit_flops_per_image(v_seq_img, n_cond * v_lp, dit_cfg)
+            flops = 3 * v_dit_f + n_cond * clip336_f + vae336_f
+            out["video"][vmode] = {
+                "config": (f"video_{vmode}_stage1 @{v_img}px B={v_bs} "
+                           f"inline, quant {quant}, remat {v_remat}"),
+                "ms_per_step": round(ms, 2),
+                "samples_per_sec": round(sps, 2),
+                "mfu_bf16_equiv": round(flops * sps / V5E_BF16_PEAK, 4),
+            }
+            del vstate, vstep
 
     _finalize(out, img_size, accum, quant)
 

@@ -159,6 +159,34 @@ def main():
         ref = out["curves"]["none"]["tail_mean"]
         for m, c in out["curves"].items():
             c["tail_vs_none"] = round(c["tail_mean"] / ref, 4)
+        # PAIRED design (VERDICT r4 #3): seed s uses the SAME init key
+        # (jax.random.key(s) — dit_quant only gates the loss-time ctx, so
+        # init params are identical across modes), the SAME noise/t keys
+        # (1000 + 100_000*s + i) and the SAME data pool.  The quant effect
+        # is therefore a per-seed DIFFERENCE, which cancels the dominant
+        # init+noise variance the r4 independent bands could not.
+        ref_runs = {r["seed"]: r["tail_mean"]
+                    for r in out["curves"]["none"]["seed_runs"]}
+        for m, c in out["curves"].items():
+            if m == "none":
+                continue
+            diffs = [r["tail_mean"] - ref_runs[r["seed"]]
+                     for r in c["seed_runs"] if r["seed"] in ref_runs]
+            if len(diffs) >= 2:
+                n = len(diffs)
+                mean = float(np.mean(diffs))
+                sd = float(np.std(diffs, ddof=1))
+                # two-sided 95% t critical values, df = n-1
+                tcrit = {1: 12.71, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571,
+                         6: 2.447, 7: 2.365, 8: 2.306, 9: 2.262}.get(n - 1, 2.0)
+                c["paired_vs_none"] = {
+                    "n_seeds": n, "diffs": [round(d, 5) for d in diffs],
+                    "mean_diff": round(mean, 5),
+                    "sd_diff": round(sd, 5),
+                    "ci95": [round(mean - tcrit * sd / np.sqrt(n), 5),
+                             round(mean + tcrit * sd / np.sqrt(n), 5)],
+                    "mean_diff_rel": round(mean / ref, 5),
+                }
     print(json.dumps(out))
 
 
