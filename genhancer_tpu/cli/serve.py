@@ -44,6 +44,13 @@ def main(argv=None):
                         help="shard the DiT over a model mesh axis with the "
                              "training TP placements (DiTs past one chip's "
                              "HBM / latency scaling)")
+    parser.add_argument("--wire_dtype", default="uint8",
+                        choices=("uint8", "float32"),
+                        help="pixel dtype crossing host<->device: uint8 "
+                             "(default) moves /255 + *255 inside the jit and "
+                             "cuts transfer bytes 4x each way — the dominant "
+                             "cost on a transfer-bound link; float32 keeps "
+                             "bit-exact float [0,1] IO")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -62,7 +69,7 @@ def main(argv=None):
         args.config, load_dir=args.load_dir, load_step=args.load_step,
         num_steps=args.num_steps, guidance=args.guidance, buckets=buckets,
         quant=args.quant, num_devices=args.num_devices,
-        model_parallel=args.model_parallel)
+        model_parallel=args.model_parallel, wire_dtype=args.wire_dtype)
     # engine.buckets, not the parsed flag: multi-chip serving rounds
     # buckets up to data-axis multiples
     log.info("warming up %s x buckets %s", endpoints, list(engine.buckets))

@@ -56,7 +56,8 @@ class InferenceEngine:
     def __init__(self, spec, params, *, num_steps: int = 20,
                  guidance: float = 4.0, shift_schedule: bool = True,
                  buckets: Sequence[int] = (1, 4, 8), quant: str = "none",
-                 num_devices: int = 1, model_parallel: int = 1):
+                 num_devices: int = 1, model_parallel: int = 1,
+                 wire_dtype: str = "float32"):
         """``quant="int8"``: statically quantize every serving param tree
         (DiT + tower linears, VAE convs — core.quant) at load; v5e runs the
         int8 MXU at 2x bf16 peak and inference has no dW to protect, so the
@@ -69,10 +70,26 @@ class InferenceEngine:
         the DiT with the training TP placements (parallel/tp.py — latency /
         HBM scaling for DiTs past one chip).  Buckets are rounded UP to
         multiples of the data-axis size so every device holds equal rows;
-        params are replicated (or TP-placed) once at load."""
+        params are replicated (or TP-placed) once at load.
+
+        ``wire_dtype="uint8"``: pixels cross the host<->device boundary as
+        uint8 both ways — the ``/255`` input normalization and the
+        ``round(clip(x)*255)`` output quantization move INSIDE the jit
+        program, cutting per-image transfer bytes 4x each direction.  Serving
+        inputs are JPEG-decoded (8-bit-sourced) and responses are re-encoded
+        to JPEG from uint8 anyway, so the only information lost is the
+        sub-8-bit residue of the host-side bilinear resize (<= 1/510 per
+        pixel, far below JPEG q95 error).  On a transfer-bound link (the r4
+        axon relay measured ~31 MB/s) this is the dominant serving cost:
+        224px reconstruct moves 1.2 MB/image at float32 but 0.3 MB at uint8.
+        ``reconstruct`` then RETURNS uint8 [0,255] (what JPEG encoders take);
+        ``embed`` still returns float32 (the [n,D] vector is tiny)."""
         self.spec = spec
         self.num_steps = int(num_steps)
         self.guidance = float(guidance)
+        if wire_dtype not in ("float32", "uint8"):
+            raise ValueError(f"wire_dtype must be float32|uint8, got {wire_dtype!r}")
+        self.wire_dtype = wire_dtype
         if quant == "int8":
             from ..core import quant as quant_m
             params = dict(params,
@@ -137,7 +154,16 @@ class InferenceEngine:
         timesteps = flow.get_schedule(self.num_steps, seq_len,
                                       shift=shift_schedule)
 
-        def recon(params, image01, key):
+        def _dewire(image):
+            """Wire batch -> float [0,1]: identity at float32 wire, /255
+            inside the program at uint8 wire (uint8/255 in f32 is exact, so
+            numerics match a host-side division bit-for-bit)."""
+            if image.dtype == jnp.uint8:
+                return image.astype(jnp.float32) / 255.0
+            return image
+
+        def recon(params, image, key):
+            image01 = _dewire(image)
             cond = image_conditioning(spec.tower_kind, params["clip"], image01,
                                       spec.tower_cfg, spec.latent_hw,
                                       compute_dtype=spec.compute_dtype)
@@ -157,9 +183,14 @@ class InferenceEngine:
                                         self.guidance)
             lat = dit_m.unpack_latent(tokens.astype(jnp.float32), lat_h, lat_w)
             out = vae_m.vae_decode(params["vae"], spec.vae_cfg, lat)
-            return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+            out = jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+            if wire_dtype == "uint8":
+                # quantize ON DEVICE so the device->host copy is 1 B/px
+                out = jnp.round(out * 255.0).astype(jnp.uint8)
+            return out
 
-        def embed(params, image01):
+        def embed(params, image):
+            image01 = _dewire(image)
             mean, std = tower_stats(spec.tower_kind)
             px = normalize(image01, mean, std).astype(spec.compute_dtype)
             cls_tok, _ = tower_features(spec.tower_kind, params["clip"], px,
@@ -181,13 +212,27 @@ class InferenceEngine:
         self._key_counter += 1
         return jax.random.fold_in(self._base_key, self._key_counter)
 
+    def _wire(self, arr: np.ndarray) -> np.ndarray:
+        """Host batch -> the engine's wire dtype.  Accepts float [0,1] or
+        uint8 [0,255] regardless of configuration; the conversion that
+        CROSSES the link is always the cheap direction."""
+        arr = np.asarray(arr)
+        if self.wire_dtype == "uint8":
+            if arr.dtype == np.uint8:
+                return arr
+            return (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        if arr.dtype == np.uint8:
+            return arr.astype(np.float32) / 255.0
+        return np.asarray(arr, np.float32)
+
     def reconstruct(self, images01: np.ndarray,
                     seed: Optional[int] = None) -> np.ndarray:
-        """images01: [n, H, W, 3] float32 in [0,1], n <= max bucket.
-        Returns reconstructed [n, H, W, 3] in [0,1]."""
+        """images01: [n, H, W, 3] float32 in [0,1] or uint8, n <= max bucket.
+        Returns reconstructed [n, H, W, 3] — float32 in [0,1] at the
+        float32 wire, uint8 [0,255] at the uint8 wire."""
         n = images01.shape[0]
         b = self.bucket_for(n)
-        batch = self._place(_pad_to(np.asarray(images01, np.float32), b))
+        batch = self._place(_pad_to(self._wire(images01), b))
         with self._lock:
             key = (jax.random.key(seed) if seed is not None
                    else self._next_key())
@@ -208,7 +253,7 @@ class InferenceEngine:
         representation MMVP evaluates)."""
         n = images01.shape[0]
         b = self.bucket_for(n)
-        batch = self._place(_pad_to(np.asarray(images01, np.float32), b))
+        batch = self._place(_pad_to(self._wire(images01), b))
         with self._lock:
             out = np.asarray(self._embed(self._params, batch))
         return out[:n]

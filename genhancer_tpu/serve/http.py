@@ -63,11 +63,13 @@ def _parse_seed(query: str) -> Optional[int]:
     return None
 
 
-def _encode_jpeg(img01: np.ndarray) -> bytes:
+def _encode_jpeg(img: np.ndarray) -> bytes:
+    """img: float [0,1] (float32-wire engine) or uint8 (uint8-wire)."""
     from PIL import Image
     buf = io.BytesIO()
-    Image.fromarray((np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(
-        buf, format="JPEG", quality=95)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
     return buf.getvalue()
 
 

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--load_requests", type=int, default=32,
                     help="concurrent requests for the batched-serving probe")
     ap.add_argument("--quant", default="none", choices=("none", "int8"))
+    ap.add_argument("--wire_dtype", default="uint8",
+                    choices=("uint8", "float32"),
+                    help="pixel dtype over host<->device (uint8 = the "
+                         "serving default: 4x fewer transfer bytes each way)")
     args = ap.parse_args()
 
     import jax
@@ -48,14 +52,16 @@ def main():
     params = {"dit": modules["dit"], "vae": modules["vae"],
               "clip": modules["clip"]}
     engine = InferenceEngine(spec, params, num_steps=args.steps,
-                             buckets=buckets, quant=args.quant)
+                             buckets=buckets, quant=args.quant,
+                             wire_dtype=args.wire_dtype)
 
     rng = np.random.default_rng(0)
     out = {"img": args.img, "num_steps": args.steps, "quant": args.quant,
-           "buckets": {}}
+           "wire_dtype": args.wire_dtype, "buckets": {}}
 
     for b in buckets:
-        img = rng.random((b, args.img, args.img, 3), dtype=np.float32)
+        # uint8-sourced pixels, like a decoded JPEG (both wires accept them)
+        img = (rng.random((b, args.img, args.img, 3)) * 255).astype(np.uint8)
         engine.reconstruct(img, seed=0)           # compile
         t0 = time.perf_counter()
         for i in range(args.iters):
@@ -78,7 +84,7 @@ def main():
     # offered-load probe: N concurrent requests through the micro-batcher
     mb = MicroBatcher(engine.reconstruct, max_batch=max(buckets),
                       max_wait_ms=10.0)
-    imgs = [rng.random((args.img, args.img, 3), dtype=np.float32)
+    imgs = [(rng.random((args.img, args.img, 3)) * 255).astype(np.uint8)
             for _ in range(args.load_requests)]
     t0 = time.perf_counter()
     futs = [mb.submit(x) for x in imgs]

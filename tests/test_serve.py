@@ -109,6 +109,51 @@ class TestEngine:
         assert np.abs(rec_q - rec).mean() < 0.05, np.abs(rec_q - rec).mean()
 
 
+class TestUint8Wire:
+    """wire_dtype='uint8' (VERDICT r4 #5): /255 and round(*255) move inside
+    the jit so pixels cross host<->device as 1 B/px.  uint8/255 in f32 is
+    exact, so on uint8-SOURCED inputs the uint8-wire engine must match the
+    float32-wire engine to the output-quantization step (<= 1/255 + fp
+    noise), and embeddings bit-for-bit-ish."""
+
+    @pytest.fixture(scope="class")
+    def u8_engine(self):
+        return make_engine(wire_dtype="uint8")
+
+    def test_reconstruct_dtype_and_match(self, engine, u8_engine, rng):
+        img_u8 = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+        out_u8 = u8_engine.reconstruct(img_u8, seed=0)
+        assert out_u8.dtype == np.uint8
+        out_f = engine.reconstruct(img_u8, seed=0)   # f32 wire accepts uint8
+        assert out_f.dtype == np.float32
+        np.testing.assert_allclose(out_u8.astype(np.float32) / 255.0, out_f,
+                                   atol=1.01 / 255.0 + 1e-5)
+
+    def test_embed_matches_float_wire(self, engine, u8_engine, rng):
+        img_u8 = (rng.random((3, 32, 32, 3)) * 255).astype(np.uint8)
+        emb_u8 = u8_engine.embed(img_u8)
+        assert emb_u8.dtype == np.float32
+        np.testing.assert_allclose(emb_u8, engine.embed(img_u8), atol=1e-5)
+
+    def test_float_input_accepted_on_uint8_wire(self, u8_engine, rng):
+        # host quantizes float [0,1] -> uint8 before the transfer
+        img = rng.random((1, 32, 32, 3), dtype=np.float32)
+        out = u8_engine.reconstruct(img, seed=2)
+        assert out.dtype == np.uint8 and out.shape == (1, 32, 32, 3)
+
+    def test_transfer_bytes_actually_shrink(self, u8_engine):
+        # the device-side program must consume uint8 (not a host-upcast
+        # float): check via the jitted fn's input aval
+        import jax
+        img = np.zeros((1, 32, 32, 3), np.uint8)
+        placed = u8_engine._place(u8_engine._wire(img))
+        assert placed.dtype == jnp.uint8
+
+    def test_bad_wire_dtype_rejected(self):
+        with pytest.raises(ValueError, match="wire_dtype"):
+            make_engine(wire_dtype="bf16")
+
+
 class TestMultiChipEngine:
     """Multi-chip serving: the mesh-sharded engine must reproduce the
     single-device engine — parallelism is placement, not math (8 virtual
