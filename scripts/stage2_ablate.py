@@ -25,22 +25,32 @@ stage-2 schedule).
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def timeit(fn, args, iters):
+    """Sync via a host read of a scalar reduction, NOT block_until_ready:
+    over the axon relay block_until_ready resolves on the handle, not the
+    computation (see scripts/cache_build_probe.py)."""
     import jax
     import jax.numpy as jnp
-    out = fn(*args)
-    jax.block_until_ready(out)
-    out = fn(*args)
-    jax.block_until_ready(out)
+
+    def sync(o):
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        float(jnp.sum(leaf).astype(jnp.float32))
+
+    sync(fn(*args))
+    sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
