@@ -397,8 +397,13 @@ def main():
         s2_steps = max(5, steps // 2)
         spec2 = make_spec(stage="stage2_all", lora_dropout=0.1,
                           tower_remat=s2_accum > 1)
+        # BENCH_S2_M8=1: 8-bit Adam moments at accum-1 too (r5 residency
+        # experiment — moments drop 5.5 -> 1.4 GB, giving XLA ~4 GB more
+        # activation headroom in the composed stage-2 graph); accum>1
+        # requires it regardless for the 16 GB fit.
+        s2_m8 = q8 and (s2_accum > 1 or os.environ.get("BENCH_S2_M8") == "1")
         opt2 = (optim.make_optimizer(cfg, fused="pallas", emit_quant=True,
-                                     moment_bits=8) if q8 and s2_accum > 1
+                                     moment_bits=8) if s2_m8
                 else optimizer)
         h, w = spec2.latent_hw
         zc = 2 * vae_cfg.z_channels
@@ -420,7 +425,8 @@ def main():
             "config": ("stage2_all, latents cache, tower_quant int8 (QLoRA), "
                        f"dit_quant {quant}, B={s2_bs} x accum{s2_accum}"
                        + (", tower_remat + moment8 (16G fit)"
-                          if s2_accum > 1 else "")),
+                          if s2_accum > 1 else
+                          (", moment8" if s2_m8 else ""))),
             "ms_per_step": round(ms, 2),
             "img_per_sec": round(ips, 2),
             "grad_accum": s2_accum,

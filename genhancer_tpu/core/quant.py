@@ -510,8 +510,22 @@ def refresh_static_quant_flat(flat_params: dict) -> dict:
     return out
 
 
-def quantize_conv_tree(params, min_channels: int = 32):
-    """Replace eligible conv weights (4-D HWIO) with int8 factors."""
+# Measured on v5e (r5, scripts/vae_conv_mxu_probe.py at B=64): below 256
+# channels the int8 conv emitter is SLOWER than bf16 — the f8 encoder's
+# 224px level (128 ch) runs 80.9 TF/s int8 vs 97.8 bf16, because the
+# per-tensor activation quant pass is not paid back by the small-K int8
+# conv.  >=256-ch convs win cleanly (512 ch: 182 int8 vs 120 bf16).
+# Mixed encoder measures 1.167 ms/img vs 1.220 int8-everywhere / 1.377
+# bf16 (cache_build_probe int8mix), so 256 is the product default;
+# tests pass smaller thresholds to exercise the int8 path on debug models.
+INT8_CONV_MIN_CH = 256
+
+
+def quantize_conv_tree(params, min_channels: int = INT8_CONV_MIN_CH):
+    """Replace eligible conv weights (4-D HWIO) with int8 factors.
+
+    ``min_channels``: both in- and out-channels must reach it (see
+    INT8_CONV_MIN_CH for the measured default)."""
     def rec(node, path=""):
         if isinstance(node, dict):
             out = dict(node)

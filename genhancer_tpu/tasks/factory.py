@@ -176,6 +176,9 @@ def build_spec(cfg, tower_cfg=None, vae_cfg=None):
                   # base-quant error ~0.2% relative — documented there)
                   tower_quant=cfg.get("tower_quant", "none"),
                   vae_quant=cfg.get("vae_quant", "none"),
+                  # int8 convs only at >=N channels (measured: below 256 the
+                  # int8 conv emitter loses to bf16 — core.quant.INT8_CONV_MIN_CH)
+                  vae_quant_min_ch=int(cfg.get("vae_quant_min_ch", 256)),
                   # SwitchBack int8 DiT training (core.quant): "int8" (bf16
                   # dW), "int8_dw" (Pallas per-block-quant dW), or
                   # "int8_full" (experimental XLA int8 dW)

@@ -71,6 +71,10 @@ class TaskSpec:
     # frozen base in stage 2; vae_quant quantizes the encoder convs.
     tower_quant: str = "none"         # "none" | "int8"
     vae_quant: str = "none"           # "none" | "int8"
+    # int8 only for convs at >= this many channels (core.quant.
+    # INT8_CONV_MIN_CH rationale: below 256 ch the int8 conv emitter loses
+    # to bf16 on v5e); tests lower it to engage int8 on debug models
+    vae_quant_min_ch: int = 256
     # SwitchBack int8 training for the (trainable) DiT: int8 fwd + int8 dx,
     # bf16 dW (core.quant.switchback_linear, arXiv:2304.13013).  "int8_full"
     # additionally runs dW on the int8 MXU with per-channel scales via XLA
@@ -157,7 +161,8 @@ def init_modules(key: jax.Array, spec: TaskSpec,
         from ..core import quant
         modules["vae"] = dict(
             modules["vae"],
-            encoder=quant.quantize_conv_tree(modules["vae"]["encoder"]))
+            encoder=quant.quantize_conv_tree(modules["vae"]["encoder"],
+                                             min_channels=spec.vae_quant_min_ch))
     if spec.stage == "stage2_only" and spec.dit_quant != "none":
         # the DiT is FROZEN in stage2_only — SwitchBack would compute a dW
         # that is immediately discarded; a static int8 base (int8 fwd +

@@ -78,6 +78,7 @@ class VideoTaskSpec:
     vae_dtype: object = jnp.float32          # fp32 = reference parity; bf16 = faster
     tower_quant: str = "none"                # int8 frozen tower (stage 1)
     vae_quant: str = "none"                  # int8 encoder convs
+    vae_quant_min_ch: int = 256              # see image.TaskSpec.vae_quant_min_ch
     dit_quant: str = "none"                  # switchback int8 DiT training
     dit_quant_cache: bool = False            # optimizer-fused W quant cache
     sequence_parallel: int = 1               # ring attention (image.TaskSpec)
@@ -151,7 +152,8 @@ def init_modules(key: jax.Array, spec: VideoTaskSpec,
         from ..core import quant
         modules["vae"] = dict(
             modules["vae"],
-            encoder=quant.quantize_conv_tree(modules["vae"]["encoder"]))
+            encoder=quant.quantize_conv_tree(modules["vae"]["encoder"],
+                                             min_channels=spec.vae_quant_min_ch))
     return modules
 
 

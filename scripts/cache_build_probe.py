@@ -63,6 +63,14 @@ def main():
         if quant == "int8":
             vp = dict(vp_f, encoder=q_m.quantize_conv_tree(vp_f["encoder"]))
             tp = q_m.quantize_linear_tree(tp_f)
+        elif quant == "int8mix":
+            # mixed-precision encoder (r5 vae_conv_mxu_probe finding): int8
+            # convs only at >=256 channels — at the 224px level (128 ch) the
+            # int8 conv emitter measures SLOWER than bf16 (80.9 vs 97.8
+            # TF/s at B=64), so low-channel convs stay bf16
+            vp = dict(vp_f, encoder=q_m.quantize_conv_tree(
+                vp_f["encoder"], min_channels=256))
+            tp = q_m.quantize_linear_tree(tp_f)
         elif quant == "int8clip":   # int8 tower, bf16 VAE convs
             vp = vp_f
             tp = q_m.quantize_linear_tree(tp_f)

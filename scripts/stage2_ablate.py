@@ -63,6 +63,16 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # persistent compilation cache (shared with bench.py / the test suite):
+    # reruns of this probe skip the multi-minute autodiff compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from genhancer_tpu.models import dit as dit_m, vae as vae_m
     from genhancer_tpu.models.towers import clip as clip_m
@@ -90,6 +100,14 @@ def main():
                                      fused="pallas" if q8 else False,
                                      emit_quant=q8)
     state = image_task.create_task_state(jax.random.key(0), spec, optimizer)
+    # Free the Adam moments for the grad-only phase: they are dead weight
+    # for value_and_grad but (unlike the donated full step) nothing here
+    # reuses their buffers, and B=16 grad-without-donation + resident
+    # moments OOMs 16 GB.  The full-step anchor (last) recreates the state.
+    for leaf in jax.tree_util.tree_leaves(state.opt_state):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+    state = state.replace(opt_state=None)
 
     rng = np.random.default_rng(0)
     h, w = spec.latent_hw
@@ -105,27 +123,29 @@ def main():
     res = {"batch": args.batch, "img": args.img, "quant": args.quant,
            "components_ms": {}}
 
-    # ---- full step (the bench anchor) -----------------------------------
-    step = image_task.make_train_step(spec, optimizer)
-    st = state
-    def full(st_, b, k):
-        s2, m = step(st_, b, k)
-        return m["loss"]
-    res["components_ms"]["full_step"] = timeit(
-        lambda b, k: step(st, b, k)[1]["loss"], (batch, key), args.iters)
+    def rec(name, ms):
+        res["components_ms"][name] = ms
+        print(json.dumps({name: round(ms, 2)}), flush=True)
 
     # ---- grads without the optimizer ------------------------------------
     loss_fn = image_task.make_loss_fn(spec)
 
+    def _gsum(g):
+        # reduce grads to a scalar INSIDE the jit: returning the full grad
+        # tree from 30 async-dispatched calls OOMs 16 GB on output buffers,
+        # and an unused output would let XLA DCE the backward entirely.
+        # Costs one read pass over the grad tree (~1 ms) — noted bias.
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in
+                   jax.tree_util.tree_leaves(g))
+
     @jax.jit
     def grad_all(trainable, frozen, b, k, quant):
-        (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, frozen, b, k, quant)
-        return l, g
+        l, g = jax.value_and_grad(loss_fn)(trainable, frozen, b, k, quant)
+        return l, _gsum(g)
 
-    res["components_ms"]["grad_all_no_opt"] = timeit(
+    rec("grad_all_no_opt", timeit(
         lambda b, k: grad_all(state.trainable, state.frozen, b, k,
-                              state.quant)[0], (batch, key), args.iters)
+                              state.quant), (batch, key), args.iters))
 
     # ---- grads with the tower LoRA held frozen ---------------------------
     # no parameter downstream of the tower interior needs a gradient, so XLA
@@ -137,23 +157,22 @@ def main():
     @jax.jit
     def grad_nolora(rest_, frozen, b, k, quant):
         def f(r):
-            l, _ = loss_fn({**r, **lora}, frozen, b, k, quant)
-            return l
-        return jax.value_and_grad(f)(rest_)
+            return loss_fn({**r, **lora}, frozen, b, k, quant)
+        l, g = jax.value_and_grad(f)(rest_)
+        return l, _gsum(g)
 
-    res["components_ms"]["grad_dit_proj_only"] = timeit(
-        lambda b, k: grad_nolora(rest, state.frozen, b, k, state.quant)[0],
-        (batch, key), args.iters)
+    rec("grad_dit_proj_only", timeit(
+        lambda b, k: grad_nolora(rest, state.frozen, b, k, state.quant),
+        (batch, key), args.iters))
 
     # ---- forward only -----------------------------------------------------
     @jax.jit
     def fwd_only(trainable, frozen, b, k, quant):
-        l, _ = loss_fn(trainable, frozen, b, k, quant)
-        return l
+        return loss_fn(trainable, frozen, b, k, quant)
 
-    res["components_ms"]["fwd_only"] = timeit(
+    rec("fwd_only", timeit(
         lambda b, k: fwd_only(state.trainable, state.frozen, b, k,
-                              state.quant), (batch, key), args.iters)
+                              state.quant), (batch, key), args.iters))
 
     # ---- tower conditioning forward alone ---------------------------------
     params = unflatten_params({**state.frozen, **state.trainable})
@@ -164,9 +183,9 @@ def main():
                                spec.latent_hw, compute_dtype=jnp.bfloat16)
         return c["txt"].sum()
 
-    res["components_ms"]["tower_cond_fwd"] = timeit(
+    rec("tower_cond_fwd", timeit(
         lambda b, k: cond_fwd(params["clip"], b["image"]), (batch, key),
-        args.iters)
+        args.iters))
 
     # ---- DiT fwd+bwd with fixed conditioning ------------------------------
     from genhancer_tpu.train import flow as flow_m
@@ -203,11 +222,31 @@ def main():
                     y=cond["vec"],
                     guidance=jnp.full((args.batch,), 4.0, jnp.bfloat16))
             return flow_m.mse_loss(pred, flow_m.velocity_target(x1, x0))
-        return jax.value_and_grad(f)(dflat)
+        l, g = jax.value_and_grad(f)(dflat)
+        return l, _gsum(g)
 
-    res["components_ms"]["dit_fwdbwd"] = timeit(
-        lambda b, k: dit_grad(dit_flat, b, k, state.quant)[0], (batch, key),
-        args.iters)
+    rec("dit_fwdbwd", timeit(
+        lambda b, k: dit_grad(dit_flat, b, k, state.quant), (batch, key),
+        args.iters))
+
+    # ---- full step (the bench anchor) — LAST: it donates the state --------
+    # drop every grad-phase function/closure (jitted executables bake the
+    # captured frozen/LoRA trees in as on-device constants) and recreate a
+    # fresh optimizer-bearing state, so the step runs with bench-equivalent
+    # residency.
+    del state, params, dit_flat, lora, rest, cond, x1
+    del grad_all, grad_nolora, fwd_only, cond_fwd, dit_grad
+    jax.clear_caches()
+    step = image_task.make_train_step(spec, optimizer)
+    st = image_task.create_task_state(jax.random.key(0), spec, optimizer)
+    for i in range(2):                                    # compile + warm
+        st, m = step(st, batch, jax.random.fold_in(key, i))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        st, m = step(st, batch, jax.random.fold_in(key, 100 + i))
+    float(m["loss"])
+    rec("full_step", (time.perf_counter() - t0) / args.iters * 1e3)
 
     # ---- attribution ------------------------------------------------------
     c = res["components_ms"]

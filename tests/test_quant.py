@@ -153,9 +153,19 @@ class TestTreeSurgery:
         tree = {"conv1": {"weight": jnp.ones((3, 3, 64, 64)),
                           "bias": jnp.zeros((64,))},
                 "conv_in": {"weight": jnp.ones((3, 3, 3, 64))}}  # 3 in-ch: skip
-        out = quant.quantize_conv_tree(tree)
+        out = quant.quantize_conv_tree(tree, min_channels=64)
         assert "weight_q" in out["conv1"]
         assert "weight" in out["conv_in"]
+
+    def test_quantize_conv_tree_default_skips_low_channels(self):
+        """Product default = INT8_CONV_MIN_CH (256): below it the int8 conv
+        emitter measures slower than bf16 on v5e (vae_conv_mxu_probe r5)."""
+        assert quant.INT8_CONV_MIN_CH == 256
+        tree = {"c128": {"weight": jnp.ones((3, 3, 128, 128))},
+                "c512": {"weight": jnp.ones((3, 3, 512, 512))}}
+        out = quant.quantize_conv_tree(tree)
+        assert "weight" in out["c128"] and "weight_q" not in out["c128"]
+        assert "weight_q" in out["c512"]
 
 
 class TestInt8Stage1Step:
@@ -185,7 +195,10 @@ class TestInt8Stage1Step:
                 vae_cfg=vae_m.VAE_CONFIGS["flux-debug"], tower_cfg=tower_cfg,
                 compute_dtype=jnp.float32, dit_param_dtype=jnp.float32,
                 tower_quant="int8" if quantized else "none",
-                vae_quant="int8" if quantized else "none")
+                vae_quant="int8" if quantized else "none",
+                # flux-debug has ch=32: lower the int8-conv channel floor so
+                # the int8 conv path is actually engaged in this step
+                vae_quant_min_ch=16)
 
         opt = optim.make_optimizer(Config(dict(TRAIN_DEFAULTS)))
         batch = {"image": jnp.asarray(

@@ -59,7 +59,7 @@ def fast_spec(stage="stage1"):
         dit_cfg=dit_cfg, vae_cfg=vae_cfg, tower_cfg=tower_cfg,
         clip_dim=24, t5_dim=32, lora_r=2, lora_targets=("q_proj", "v_proj"),
         compute_dtype=jnp.float32, dit_param_dtype=jnp.float32,
-        tower_quant="int8", vae_quant="int8",
+        tower_quant="int8", vae_quant="int8", vae_quant_min_ch=16,
         dit_quant="int8_full", dit_quant_cache=True)
 
 
