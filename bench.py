@@ -511,7 +511,11 @@ def _finalize(out, img_size, accum, quant):
 
     headline = (out.get("precomputed", {}).get("img_per_sec_steady")
                 or out.get("inline", {}).get("img_per_sec")
-                or out["stage2"]["img_per_sec"])
+                or out.get("stage2", {}).get("img_per_sec")
+                # video-only experiment runs (BENCH_MODES=video): the video
+                # block is the payload; middle-frame samples/s stands in so
+                # _finalize still emits one JSON line
+                or out["video"]["middle"]["samples_per_sec"])
     result = {
         "metric": "stage1_image_train_throughput",
         "value": headline,
@@ -519,7 +523,8 @@ def _finalize(out, img_size, accum, quant):
         "vs_baseline": round(headline / a100_imgs_per_sec, 3),
         "mfu_bf16_equiv": (out.get("precomputed", {}).get("mfu_bf16_equiv")
                            or out.get("inline", {}).get("mfu_bf16_equiv")
-                           or out["stage2"]["mfu_bf16_equiv"]),
+                           or out.get("stage2", {}).get("mfu_bf16_equiv")
+                           or out["video"]["middle"]["mfu_bf16_equiv"]),
         "a100_model_img_per_sec": round(a100_imgs_per_sec, 2),
         "quant": quant,
         "grad_accum": accum,   # precomputed; inline pinned to 1, stage2 own
