@@ -26,8 +26,13 @@ jax.config.update("jax_platforms", "cpu")
 # train-then-resume e2e paths compile the same program twice) and makes
 # repeat local runs much faster on this 1-CPU container.  Keyed on the HLO
 # hash — correctness-neutral.
+# GENHANCER_TEST_CACHE_DIR overrides the location so a suite run can use a
+# private (cloned) cache when another process — e.g. a TPU bench — is
+# writing the shared one: concurrent cross-process writes to one cache dir
+# have segfaulted jaxlib's executable serialization (observed r5).
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                  os.environ.get("GENHANCER_TEST_CACHE_DIR")
+                  or os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 # min_compile_time 0: on ONE CPU even the eager-op compiles (~0.1-1 s each,
 # hundreds per suite) are worth caching
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
